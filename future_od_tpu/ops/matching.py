@@ -1,0 +1,210 @@
+"""Set-prediction matching, TPU-native.
+
+The reference solves a Hungarian assignment per batch element on the host with
+scipy (`ConditionalDETR.models.matcher` called from `set_criterion.py:182,204`)
+— a device→host sync in the middle of every training step. Here matching is a
+first-class on-device op so the whole train step compiles to one XLA program:
+
+- `matching_cost` builds the (B, M, N) ConditionalDETR cost matrix (focal-style
+  class cost + L1(cxcywh) + (−GIoU)) from dense masked targets.
+- `auction_assignment` solves it on device with a batched Jacobi auction with
+  ε-scaling — every step is a vectorized (N, M) reduction, so it runs on the
+  VPU and vmaps over batch × decoder levels.
+- `hungarian_assignment` is the exact arm: a `jax.pure_callback` to the bundled
+  C++ Jonker–Volgenant solver (falling back to scipy) for bit-parity
+  validation and eval.
+
+Output contract (both solvers): `pred_idx (B, N) int32` giving, per dense
+target slot, the matched query index in [0, M), or M for unmatched/inactive
+slots. Consumers mask with `active & (pred_idx < M)`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from future_od_tpu.ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou
+
+
+def matching_cost(
+    pred_logits: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    targets: Dict[str, jnp.ndarray],
+    cost_class: float = 2.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
+) -> jnp.ndarray:
+    """ConditionalDETR matching cost over dense masked targets.
+
+    Args:
+        pred_logits: (B, M, C) raw logits.
+        pred_boxes: (B, M, 4) cxcywh in [0, 1].
+        targets: {"boxes": (B, N, 4) cxcywh, "labels": (B, N), "active": (B, N)}.
+    Returns:
+        (B, M, N) float32 cost; columns of inactive targets are meaningless
+        (solvers ignore them via the active mask).
+    """
+    pred_logits = jax.lax.stop_gradient(pred_logits)
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
+
+    prob = jax.nn.sigmoid(pred_logits)  # (B, M, C)
+    pos_cost = focal_alpha * (1.0 - prob) ** focal_gamma * (-jnp.log(prob + 1e-8))
+    neg_cost = (1.0 - focal_alpha) * prob**focal_gamma * (-jnp.log(1.0 - prob + 1e-8))
+    # Gather at target labels: (B, M, N)
+    cls_cost = jnp.take_along_axis(
+        (pos_cost - neg_cost)[:, :, None, :],
+        targets["labels"][:, None, :, None].astype(jnp.int32),
+        axis=-1,
+    )[..., 0]
+
+    l1_cost = jnp.abs(pred_boxes[:, :, None, :] - targets["boxes"][:, None, :, :]).sum(-1)
+    giou_cost = -generalized_box_iou(
+        box_cxcywh_to_xyxy(pred_boxes), box_cxcywh_to_xyxy(targets["boxes"])
+    )
+    return cost_bbox * l1_cost + cost_class * cls_cost + cost_giou * giou_cost
+
+
+# ---------------------------------------------------------------------------
+# On-device batched auction
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def auction_assignment(
+    cost: jnp.ndarray, active: jnp.ndarray, max_iters: int = 5000
+) -> jnp.ndarray:
+    """Batched single-phase Jacobi auction on the (negated) cost.
+
+    Persons are target slots, objects are queries; each active person ends up
+    owning a distinct query. A single phase with prices initialized to zero is
+    *provably* within N·ε of optimal for this asymmetric case (more queries
+    than targets): objects never bid on keep price exactly 0, so for any other
+    assignment Σ price(ours) ≥ Σ price(theirs) and the ε-CS bound applies.
+    (ε-scaling with warm-started prices is actively wrong here — stale prices
+    on unowned objects break that bound — and measurement shows it is also
+    unnecessary: with M=128 queries and ≤64 active targets the single phase
+    converges in < 10 vectorized bidding rounds.)
+
+    Fully vectorized: one bidding round = a handful of (N, M) reductions on
+    the VPU; vmaps over batch × decoder levels.
+
+    Args:
+        cost: (B, M, N) float cost.
+        active: (B, N) bool.
+        max_iters: hard bound on bidding rounds (safety net for the
+            near-square worst case; unmatched targets degrade gracefully —
+            they are dropped from the loss for that step).
+    Returns:
+        (B, N) int32 pred index per target slot; M for unmatched.
+    """
+    return jax.vmap(lambda c, a: _auction_single(c, a, max_iters))(cost, active.astype(bool))
+
+
+def _auction_single(cost: jnp.ndarray, active: jnp.ndarray, max_iters: int) -> jnp.ndarray:
+    M, N = cost.shape
+    neg_inf = jnp.float32(-1e30)
+    benefit = -cost.T.astype(jnp.float32)  # (N, M): person j's benefit for object i
+    # Normalize spread so ε is scale-free; assignment is scale-invariant.
+    scale = jnp.maximum(jnp.max(jnp.abs(jnp.where(active[:, None], benefit, 0.0))), 1e-6)
+    benefit = benefit / scale
+    benefit = jnp.where(active[:, None], benefit, neg_inf)
+    eps = jnp.float32(1e-4 / max(N, 1))
+
+    def round_body(state):
+        price, owner, obj_owner, it = state
+        unassigned = active & (owner < 0)  # (N,)
+        values = benefit - price[None, :]  # (N, M)
+        values = jnp.where(unassigned[:, None], values, neg_inf)
+        best_i = jnp.argmax(values, axis=1)  # (N,)
+        w1 = jnp.max(values, axis=1)  # (N,)
+        # Second best: mask out the best column per row.
+        masked = values.at[jnp.arange(N), best_i].set(neg_inf)
+        w2 = jnp.max(masked, axis=1)
+        w2 = jnp.where(w2 > neg_inf / 2, w2, w1 - 1.0)
+        bid = price[best_i] + (w1 - w2) + eps  # (N,)
+
+        # Per-object winner: scatter-max of bids.
+        obj_ids = jnp.arange(M)
+        bid_matrix = jnp.where(
+            unassigned[:, None] & (best_i[:, None] == obj_ids[None, :]),
+            bid[:, None],
+            neg_inf,
+        )  # (N, M)
+        win_bid = jnp.max(bid_matrix, axis=0)  # (M,)
+        win_person = jnp.argmax(bid_matrix, axis=0)  # (M,)
+        has_bid = win_bid > neg_inf / 2
+
+        new_price = jnp.where(has_bid, win_bid, price)
+        # Unassign previous owners of re-auctioned objects.
+        prev_owner = jnp.where(has_bid, obj_owner, -1)  # (M,) person displaced
+        owner = jnp.where(
+            jnp.any(prev_owner[None, :] == jnp.arange(N)[:, None], axis=1), -1, owner
+        )
+        # Assign winners (drop non-bidding objects from the scatter entirely so
+        # their placeholder argmax value can never clobber a real assignment).
+        new_obj_owner = jnp.where(has_bid, win_person, obj_owner)
+        scatter_person = jnp.where(has_bid, win_person, N)
+        owner = owner.at[scatter_person].set(obj_ids, mode="drop")
+        return new_price, owner, new_obj_owner, it + 1
+
+    def cond(state):
+        _, owner, _, it = state
+        return jnp.any(active & (owner < 0)) & (it < max_iters)
+
+    init = (
+        jnp.zeros((M,), jnp.float32),
+        jnp.full((N,), -1, jnp.int32),
+        jnp.full((M,), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    _, owner, _, _ = jax.lax.while_loop(cond, round_body, init)
+    return jnp.where(active & (owner >= 0), owner, M).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Exact Hungarian via host callback (C++ JV solver, scipy fallback)
+# ---------------------------------------------------------------------------
+
+
+def _hungarian_host(cost: np.ndarray, active: np.ndarray) -> np.ndarray:
+    from future_od_tpu.ops import native_lap
+
+    B, M, N = cost.shape
+    out = np.full((B, N), M, dtype=np.int32)
+    for b in range(B):
+        cols = np.nonzero(active[b])[0]
+        if len(cols) == 0:
+            continue
+        sub = cost[b][:, cols]  # (M, n_b)
+        rows, sub_cols = native_lap.linear_sum_assignment(sub)
+        out[b, cols[sub_cols]] = rows.astype(np.int32)
+    return out
+
+
+def hungarian_assignment(cost: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """Exact assignment through a host callback (jit-compatible, host-synced).
+
+    Same contract as `auction_assignment`. Used for parity validation and for
+    runs that want the reference's exact matcher semantics.
+    """
+    B, M, N = cost.shape
+    return jax.pure_callback(
+        _hungarian_host,
+        jax.ShapeDtypeStruct((B, N), jnp.int32),
+        cost.astype(jnp.float32),
+        active.astype(bool),
+        vmap_method="sequential",
+    )
+
+
+SOLVERS = {
+    "auction": auction_assignment,
+    "hungarian": hungarian_assignment,
+}

@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-virtual-device CPU platform so sharding and
+collective paths can be exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment preloads a TPU PJRT plugin via sitecustomize that
+overrides JAX_PLATFORMS, so we must switch platforms through jax.config (which
+takes effect as long as no backend has been initialized yet — conftest runs
+before any test imports touch devices).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
