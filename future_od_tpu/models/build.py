@@ -1,0 +1,97 @@
+"""Model assembly — the concrete architectures the run scripts use.
+
+`build_flagship` mirrors the one architecture every reference run builds
+(`/root/reference/runs/_model.py:14-74`): ResNet-50 + IMU-MLP + 6-layer
+per-frame encoder with egodeep, no joint encoder, 6-layer recurrent decoder
+with num_images=2, first_layer_special="always", 128 queries.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from flax import linen as nn
+
+from future_od_tpu.models.cores import (
+    CDetrDetectorSpatioTemporal,
+    FuturePredCore,
+    SeparateEncoder,
+    SingleFrameCore,
+    TrackerBaselineCore,
+)
+from future_od_tpu.models.st_detr import SpatioTemporalDETR, SpatioTemporalDETRArgs
+
+
+def _separate_encoder(args: SpatioTemporalDETRArgs, use_imu: bool = True) -> SeparateEncoder:
+    return SeparateEncoder(
+        hidden_dim=args.hidden_dim,
+        enc_layers=args.enc_layers,
+        enc_heads=args.enc_nheads,
+        ff_dim=args.dim_feedforward,
+        dropout=args.dropout,
+        use_encoder=args.enc_layers > 0,
+        use_egodeep=use_imu,
+        use_imu=use_imu,
+        backbone_name=args.backbone,
+        backbone_dilation=args.dilation,
+    )
+
+
+def _detector(
+    args: SpatioTemporalDETRArgs,
+    num_images: int,
+    image_memory_mode: str = "attend one at a time",
+    first_layer_special_when: str = "always",
+    use_slotstates: bool = False,
+    store_attention: bool = False,
+) -> CDetrDetectorSpatioTemporal:
+    return CDetrDetectorSpatioTemporal(
+        num_classes=args.num_classes,
+        hidden_dim=args.hidden_dim,
+        num_queries=args.num_queries,
+        dec_layers=args.dec_layers,
+        dec_heads=args.nheads,
+        ff_dim=args.dim_feedforward,
+        dropout=args.dropout,
+        num_images=num_images,
+        use_slotstates=use_slotstates,
+        use_egodeep=True,
+        aux_loss=args.aux_loss,
+        first_layer_special_when=first_layer_special_when,
+        image_memory_mode=image_memory_mode,
+        store_attention=store_attention,
+    )
+
+
+def build_flagship(
+    args: SpatioTemporalDETRArgs, store_attention: bool = False
+) -> SpatioTemporalDETR:
+    """The paper's spatiotemporal+IMU model (runs/_model.py:14-74)."""
+    core = FuturePredCore(
+        separate_encoder=_separate_encoder(args, use_imu=True),
+        detector=_detector(args, num_images=2, store_attention=store_attention),
+        joint_encoder=None,
+        no_temporal_pos=True,
+        encode_offset=args.encode_offset,
+    )
+    return SpatioTemporalDETR(core=core, args=args)
+
+
+def build_single_frame(args: SpatioTemporalDETRArgs, use_imu: bool = False) -> SpatioTemporalDETR:
+    """Single-frame ablation core (paper.py:488-528) — also the CPU-runnable
+    minimum end-to-end slice (BASELINE.json config #1)."""
+    core = SingleFrameCore(
+        separate_encoder=_separate_encoder(args, use_imu=use_imu),
+        detector=_detector(args, num_images=1),
+        no_temporal_pos=True,
+    )
+    return SpatioTemporalDETR(core=core, args=args)
+
+
+def build_tracker_baseline(args: SpatioTemporalDETRArgs, use_imu: bool = False) -> SpatioTemporalDETR:
+    """Tracker baseline core (paper.py:649-706)."""
+    core = TrackerBaselineCore(
+        separate_encoder=_separate_encoder(args, use_imu=use_imu),
+        detector=_detector(args, num_images=1),
+        no_temporal_pos=True,
+    )
+    return SpatioTemporalDETR(core=core, args=args)

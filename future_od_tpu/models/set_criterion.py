@@ -1,0 +1,156 @@
+"""DETR set-prediction criterion, dense/masked and fully on-device.
+
+Re-design of the reference's `SetCriterion`
+(`/root/reference/future_od/models/set_criterion.py`) for XLA: targets stay in
+the dense (B, Nmax) slot layout with an active mask (never ragged), matching
+runs on device (auction) or via host callback (exact Hungarian), and all
+gather/scatter steps are shape-static so the whole loss jits into the train
+step.
+
+Under a data-parallel mesh the batch axis is global, so `num_boxes` computed
+with a plain sum is already the cross-replica sum the reference obtains with
+`all_reduce` (set_criterion.py:184-193) — identical gradients.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from future_od_tpu.ops.boxes import box_cxcywh_to_xyxy, elementwise_generalized_box_iou
+from future_od_tpu.ops.losses import class_error, sigmoid_focal_loss
+from future_od_tpu.ops.matching import SOLVERS, matching_cost
+
+
+@dataclass(frozen=True)
+class CriterionConfig:
+    num_classes: int
+    cls_loss_coef: float = 2.0
+    bbox_loss_coef: float = 5.0
+    giou_loss_coef: float = 2.0
+    focal_alpha: float = 0.25
+    set_cost_class: float = 2.0
+    set_cost_bbox: float = 5.0
+    set_cost_giou: float = 2.0
+    matching_mode: str = "per level"  # | "last level"
+    matcher: str = "auction"  # | "hungarian"
+    aux_loss: bool = True
+
+    def __post_init__(self):
+        assert self.matching_mode in ("per level", "last level")
+        assert self.matcher in SOLVERS
+
+
+def _match(outputs: Dict[str, jnp.ndarray], targets, cfg: CriterionConfig) -> jnp.ndarray:
+    cost = matching_cost(
+        outputs["pred_logits"],
+        outputs["pred_boxes"],
+        targets,
+        cost_class=cfg.set_cost_class,
+        cost_bbox=cfg.set_cost_bbox,
+        cost_giou=cfg.set_cost_giou,
+        focal_alpha=cfg.focal_alpha,
+    )
+    return SOLVERS[cfg.matcher](cost, targets["active"])
+
+
+def _level_losses(
+    outputs: Dict[str, jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    pred_idx: jnp.ndarray,  # (B, N) in [0, M], M = unmatched
+    num_boxes: jnp.ndarray,
+    cfg: CriterionConfig,
+    log: bool,
+) -> Dict[str, jnp.ndarray]:
+    logits = outputs["pred_logits"]  # (B, M, C)
+    boxes = outputs["pred_boxes"]  # (B, M, 4)
+    B, M, C = logits.shape
+    matched = targets["active"] & (pred_idx < M)  # (B, N)
+
+    # --- classification (focal) loss, set_criterion.py:36-77 ---
+    # Scatter target labels onto their matched query slot; unmatched queries
+    # keep the background index (== num_classes -> all-zero one-hot row).
+    scatter_idx = jnp.where(matched, pred_idx, M)  # M -> spill column
+    labels = jnp.where(matched, targets["labels"], cfg.num_classes)
+    target_classes = jnp.full((B, M + 1), cfg.num_classes, dtype=jnp.int32)
+    target_classes = target_classes.at[
+        jnp.arange(B)[:, None], scatter_idx
+    ].set(labels)[:, :M]
+    onehot = jax.nn.one_hot(target_classes, C, dtype=logits.dtype)
+    loss_ce = (
+        sigmoid_focal_loss(logits, onehot, num_boxes, alpha=cfg.focal_alpha, gamma=2.0)
+        * M
+    )
+
+    # --- box losses, set_criterion.py:93-115 ---
+    gather_idx = jnp.clip(pred_idx, 0, M - 1)
+    src_boxes = jnp.take_along_axis(boxes, gather_idx[..., None], axis=1)  # (B, N, 4)
+    l1 = jnp.abs(src_boxes - targets["boxes"]).sum(-1)
+    loss_bbox = jnp.where(matched, l1, 0.0).sum() / num_boxes
+    giou = elementwise_generalized_box_iou(
+        box_cxcywh_to_xyxy(src_boxes), box_cxcywh_to_xyxy(targets["boxes"])
+    )
+    loss_giou = jnp.where(matched, 1.0 - giou, 0.0).sum() / num_boxes
+
+    losses = {"loss_ce": loss_ce, "loss_bbox": loss_bbox, "loss_giou": loss_giou}
+
+    # --- cardinality error (logging only), set_criterion.py:79-91 ---
+    card_pred = (logits.max(-1) > 0.5).sum(-1).astype(jnp.float32)
+    tgt_len = targets["active"].sum(-1).astype(jnp.float32)
+    losses["cardinality_error"] = jax.lax.stop_gradient(
+        jnp.abs(card_pred - tgt_len).mean()
+    )
+
+    if log:
+        matched_logits = jnp.take_along_axis(
+            logits, gather_idx[..., None], axis=1
+        )  # (B, N, C)
+        losses["class_error"] = jax.lax.stop_gradient(
+            class_error(matched_logits, targets["labels"], matched)
+        )
+    return losses
+
+
+def set_criterion(
+    outputs: Dict[str, Any],
+    targets: Dict[str, jnp.ndarray],
+    cfg: CriterionConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Full criterion over the final level + aux levels (set_criterion.py:172-217).
+
+    outputs: {"pred_logits": (B, M, C), "pred_boxes": (B, M, 4),
+              "aux_outputs": [ {...} per intermediate level ]}.
+    targets: dense masked dict from `to_detr_targets`.
+    Returns a dict of per-loss scalars, aux levels suffixed `_{i}`.
+    """
+    num_boxes = jnp.maximum(targets["active"].sum().astype(jnp.float32), 1.0)
+
+    pred_idx = _match(outputs, targets, cfg)
+    losses = _level_losses(outputs, targets, pred_idx, num_boxes, cfg, log=True)
+
+    if cfg.aux_loss and "aux_outputs" in outputs:
+        for i, aux in enumerate(outputs["aux_outputs"]):
+            if cfg.matching_mode == "per level":
+                aux_idx = _match(aux, targets, cfg)
+            else:
+                aux_idx = pred_idx
+            aux_losses = _level_losses(aux, targets, aux_idx, num_boxes, cfg, log=False)
+            losses.update({f"{k}_{i}": v for k, v in aux_losses.items()})
+    return losses
+
+
+def weighted_total(losses: Dict[str, jnp.ndarray], cfg: CriterionConfig, num_aux: int):
+    """Total loss = Σ weight_k · loss_k over the weight dict the reference
+    builds in st_detr.py:67-77."""
+    base = {
+        "loss_ce": cfg.cls_loss_coef,
+        "loss_bbox": cfg.bbox_loss_coef,
+        "loss_giou": cfg.giou_loss_coef,
+    }
+    weights = dict(base)
+    for i in range(num_aux):
+        weights.update({f"{k}_{i}": v for k, v in base.items()})
+    total = sum(losses[k] * w for k, w in weights.items() if k in losses)
+    return total, weights

@@ -1,0 +1,273 @@
+"""Model-stack tests: shapes, structure, jit, gradient presence, cores."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from future_od_tpu.models.build import (
+    build_flagship,
+    build_single_frame,
+    build_tracker_baseline,
+)
+from future_od_tpu.models.cores import (
+    JointEncoder,
+    JointEncoderF2F,
+    JointEncoderSequential,
+)
+from future_od_tpu.models.resnet import CDetrBackbone
+from future_od_tpu.models.st_detr import (
+    SpatioTemporalDETRArgs,
+    compute_loss,
+    normalize_outputs,
+    post_process,
+)
+from future_od_tpu.models.tracker import TrackerFuturePredictor
+
+TINY = dict(
+    num_classes=8, num_queries=16, hidden_dim=32, enc_layers=2, dec_layers=2,
+    dim_feedforward=64, enc_nheads=4, nheads=4,
+)
+
+
+def make_data(rng, B=2, L=3, H=64, W=96, N=12, with_imu=True, with_offsets=False):
+    boxes_wh = np.abs(rng.normal(size=(B, N, 4))).astype(np.float32) * 20
+    boxes = np.concatenate([boxes_wh[..., :2], boxes_wh[..., :2] + boxes_wh[..., 2:]], -1)
+    data = {
+        "video": jnp.asarray(rng.normal(size=(B, L, H, W, 3)).astype(np.float32)),
+        "boxes": jnp.asarray(boxes),
+        "classes": jnp.asarray(rng.integers(0, 8, size=(B, N))),
+        "active": jnp.asarray((rng.uniform(size=(B, N)) < 0.5).astype(np.int64)),
+        "annotated_frame_idx": jnp.asarray([L - 1] * B),
+    }
+    if with_imu:
+        for key, d in [("translation", 3), ("acceleration", 3), ("rotation", 4),
+                       ("rotation_rate", 3), ("speed", 1)]:
+            data[key] = jnp.asarray(rng.normal(size=(B, L, d)).astype(np.float32))
+    if with_offsets:
+        data["temporal_offsets"] = jnp.asarray(
+            np.tile(np.array([-1.0, -0.5, 0.0], np.float32)[:L], (B, 1))
+        )
+    return data
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    args = SpatioTemporalDETRArgs(**TINY)
+    model = build_flagship(args)
+    rng = np.random.default_rng(0)
+    data = make_data(rng)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, data
+    )
+    return args, model, variables, data
+
+
+class TestFlagship:
+    def test_output_shapes(self, flagship):
+        args, model, variables, data = flagship
+        out = model.apply(variables, data, deterministic=True)
+        B = data["video"].shape[0]
+        assert out["pred_logits"].shape == (B, 16, 8)
+        assert out["pred_boxes"].shape == (B, 16, 4)
+        assert len(out["aux_outputs"]) == TINY["dec_layers"] - 1
+        # boxes sigmoided to [0, 1]
+        assert float(out["pred_boxes"].min()) >= 0.0
+        assert float(out["pred_boxes"].max()) <= 1.0
+
+    def test_decoder_layer0_only_has_query_pos_in_image_attn(self, flagship):
+        # Reference deletes query_pos weights of image attentions in layers>=1
+        # (transformer.py:321-324); we never create them.
+        _, _, variables, _ = flagship
+        dec = variables["params"]["core"]["detector"]["decoder"]
+        assert "query_pos" in dec["layer0"]["image_attend0"]
+        assert "query_pos" not in dec["layer1"]["image_attend0"]
+
+    def test_frame_memory_structure(self, flagship):
+        # num_images=2: layer has image_attend0 and (from frame 1 on) image_attend1.
+        _, _, variables, _ = flagship
+        dec = variables["params"]["core"]["detector"]["decoder"]
+        assert "image_attend1" in dec["layer0"]
+
+    def test_loss_and_gradient_presence(self, flagship):
+        # The reference audits that every parameter receives a gradient
+        # (trainer.py:181-185). Frozen-BN stats are excluded by construction.
+        args, model, variables, data = flagship
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "frozen": variables["frozen"]},
+                data,
+                deterministic=False,
+                rngs={"dropout": jax.random.key(2)},
+            )
+            annotated, _, _ = normalize_outputs(out, data)
+            loss, _ = compute_loss(annotated, data, args.criterion_config())
+            return loss
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+
+        def expected_zero(path: str) -> bool:
+            # (a) bbox head layers before the zero-initialized final layer
+            #     have exactly-zero grads at init (dL/dW = 0 through W_last=0);
+            # (b) egodeep attention attends over a single key token, so the
+            #     softmax is identically 1 and q/k projections get zero grad
+            #     (true in the reference too — their audit only checks `None`).
+            if "bbox_embed" in path and "layer2" not in path:
+                return True
+            if "egodeep_attend" in path and any(
+                k in path for k in ("['key']", "query_content", "query_pos")
+            ):
+                return True
+            # (c) decoder layer 0 self-attention content/value kernels multiply
+            #     the all-zero initial query content: dW = dL·xᵀ = 0 at every
+            #     frame (query content restarts at zeros per detect() call).
+            if (
+                "decoder']['layer0']['self_attend" in path
+                and "kernel" in path
+                and any(k in path for k in ("query_content", "key_content", "value"))
+            ):
+                return True
+            return False
+
+        dead = [
+            jax.tree_util.keystr(path)
+            for path, g in flat
+            if (
+                not np.isfinite(np.asarray(g)).all()
+                or float(jnp.abs(g).max()) == 0.0
+            )
+            and not expected_zero(jax.tree_util.keystr(path))
+        ]
+        # image_attend1 of the decoder only runs from frame 1 — with L-1=2
+        # frames it does run, so everything else must have nonzero grad.
+        assert dead == [], f"dead/nonfinite grads: {dead}"
+
+    def test_jit_consistency(self, flagship):
+        args, model, variables, data = flagship
+        eager = model.apply(variables, data, deterministic=True)
+        jitted = jax.jit(lambda v, d: model.apply(v, d, deterministic=True))(
+            variables, data
+        )
+        np.testing.assert_allclose(
+            eager["pred_boxes"], jitted["pred_boxes"], atol=2e-5
+        )
+
+    def test_dropout_changes_output(self, flagship):
+        args, model, variables, data = flagship
+        o1 = model.apply(
+            variables, data, deterministic=False, rngs={"dropout": jax.random.key(1)}
+        )
+        o2 = model.apply(
+            variables, data, deterministic=False, rngs={"dropout": jax.random.key(2)}
+        )
+        assert not np.allclose(o1["pred_logits"], o2["pred_logits"])
+
+    def test_encode_offset_path(self):
+        args = SpatioTemporalDETRArgs(**TINY, encode_offset=True)
+        model = build_flagship(args)
+        rng = np.random.default_rng(1)
+        data = make_data(rng, with_offsets=True)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        assert out["pred_logits"].shape[0] == 2
+
+
+class TestBackbone:
+    def test_stride_32(self, rng):
+        m = CDetrBackbone(hidden_dim=32)
+        x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
+        variables = m.init(jax.random.key(0), x)
+        out = m.apply(variables, x)
+        assert out.shape == (1, 2, 3, 32)
+
+    def test_dilation_stride_16(self, rng):
+        m = CDetrBackbone(hidden_dim=32, dilation=True)
+        x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
+        variables = m.init(jax.random.key(0), x)
+        out = m.apply(variables, x)
+        assert out.shape == (1, 4, 6, 32)
+
+    def test_frozen_bn_constant(self, rng):
+        # frozen stats live outside "params" -> optimizer never touches them
+        m = CDetrBackbone(hidden_dim=32)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+        variables = m.init(jax.random.key(0), x)
+        assert "frozen" in variables
+        assert "weight" in variables["frozen"]["body"]["bn1"]
+
+
+class TestCores:
+    def test_single_frame_core(self, rng):
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = build_single_frame(args, use_imu=False)
+        data = make_data(np.random.default_rng(2), L=1, with_imu=False)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        assert out["pred_logits"].shape == (2, 16, 8)
+
+    def test_tracker_baseline_core_l3(self, rng):
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = build_tracker_baseline(args, use_imu=False)
+        data = make_data(np.random.default_rng(3), L=3, with_imu=False)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        assert "per_frame_preds" in out and len(out["per_frame_preds"]) == 2
+
+    @pytest.mark.parametrize("cls", [JointEncoder, JointEncoderSequential])
+    def test_joint_encoders(self, cls, rng):
+        m = (
+            cls(num_layers=1, dim=16, num_heads=2, ff_dim=32)
+            if cls is JointEncoder
+            else cls(num_layers=1, dim=16, num_heads=2, ff_dim=32, num_previmages=2)
+        )
+        feats = jnp.asarray(rng.normal(size=(2, 3, 4, 5, 16)).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(3, 4, 5, 16)).astype(np.float32))
+        variables = m.init(jax.random.key(0), feats, pos)
+        out, out_pos = m.apply(variables, feats, pos)
+        assert out.shape == feats.shape
+
+    def test_joint_encoder_f2f(self, rng):
+        m = JointEncoderF2F(hidden_dim=16, num_frames=3)
+        feats = jnp.asarray(rng.normal(size=(2, 3, 4, 5, 16)).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(3, 4, 5, 16)).astype(np.float32))
+        variables = m.init(jax.random.key(0), feats, pos)
+        out, out_pos = m.apply(variables, feats, pos)
+        assert out.shape == (2, 1, 4, 5, 16)
+        assert out_pos.shape == (1, 4, 5, 16)
+
+
+class TestTracker:
+    def test_identity_motion(self):
+        # identical frames -> extrapolated boxes == current boxes
+        rng = np.random.default_rng(0)
+        boxes = rng.uniform(0.2, 0.8, size=(1, 5, 4)).astype(np.float32)
+        logits = rng.normal(size=(1, 5, 3)).astype(np.float32)
+        pred = {"pred_boxes": boxes, "pred_logits": logits}
+        out = TrackerFuturePredictor()(pred, pred)
+        np.testing.assert_allclose(out["pred_boxes"], boxes, atol=1e-6)
+        np.testing.assert_allclose(out["pred_logits"], logits, atol=1e-6)
+
+    def test_linear_motion_extrapolation(self):
+        # box moving +0.1/frame must be predicted +0.1 further
+        base = np.array([[[0.4, 0.4, 0.1, 0.1]]], np.float32)
+        moved = base + np.array([0.1, 0.0, 0.0, 0.0], np.float32)
+        logits = np.zeros((1, 1, 2), np.float32)
+        out = TrackerFuturePredictor()(
+            {"pred_boxes": base, "pred_logits": logits},
+            {"pred_boxes": moved, "pred_logits": logits},
+        )
+        np.testing.assert_allclose(out["pred_boxes"][0, 0, 0], 0.6, atol=1e-6)
+
+    def test_offset_factor(self):
+        base = np.array([[[0.4, 0.4, 0.1, 0.1]]], np.float32)
+        moved = base + np.array([0.1, 0.0, 0.0, 0.0], np.float32)
+        logits = np.zeros((1, 1, 2), np.float32)
+        # offsets [-1.0, -0.5, 0]: factor = (0-(-0.5))/(-0.5-(-1.0)) = 1.0
+        out = TrackerFuturePredictor()(
+            {"pred_boxes": base, "pred_logits": logits},
+            {"pred_boxes": moved, "pred_logits": logits},
+            temporal_offsets=np.array([[-1.0, -0.5, 0.0]], np.float32),
+        )
+        np.testing.assert_allclose(out["pred_boxes"][0, 0, 0], 0.6, atol=1e-6)
