@@ -1,0 +1,88 @@
+"""Headline benchmark: flagship 2-frame 500 ms inference throughput per chip.
+
+Config matches the reference's eval environment (BASELINE.md): batch 12 at
+896x1600, ResNet-50 + 6-layer encoder + recurrent 2-frame decoder, 128
+queries, 8 classes — the full jitted inference path (forward + post-proc).
+
+Baseline: the reference publishes NO throughput numbers (SURVEY.md §6). The
+A100 figure used for `vs_baseline` is therefore an estimate, documented here:
+~40 clips/s for the reference PyTorch eval path (fp32/TF32, NGC pytorch:21.08,
+eager, host-synced pipeline) on one A100 — derived from ~310 GFLOP/clip at
+the 35-45 TFLOP/s this stack typically realizes, minus eager/host overheads.
+The north-star target is 2x that per TPU chip, i.e. vs_baseline >= 2.0.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_CLIPS_PER_SEC = 40.0  # documented estimate, see module docstring
+
+BATCH = 12
+HEIGHT, WIDTH = 896, 1600
+FRAMES = 3  # model drops the last (future) frame -> 2 past frames consumed
+
+
+def main():
+    from future_od_tpu.models.build import build_flagship
+    from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+    from future_od_tpu.train.step import make_inference_fn
+
+    args = SpatioTemporalDETRArgs(num_classes=8, num_queries=128, lr_backbone=1e-4)
+    model = build_flagship(args)
+
+    rng = np.random.default_rng(0)
+    data = {
+        "video": jnp.asarray(
+            rng.normal(size=(BATCH, FRAMES, HEIGHT, WIDTH, 3)).astype(np.float32)
+        ),
+        "annotated_frame_idx": jnp.asarray([FRAMES - 1] * BATCH),
+    }
+    for key, d in [
+        ("translation", 3), ("acceleration", 3), ("rotation", 4),
+        ("rotation_rate", 3), ("speed", 1),
+    ]:
+        data[key] = jnp.asarray(
+            rng.normal(size=(BATCH, FRAMES, d)).astype(np.float32)
+        )
+
+    variables = jax.jit(
+        lambda k: model.init({"params": k}, data, deterministic=True)
+    )(jax.random.key(0))
+    infer = jax.jit(make_inference_fn(model))
+
+    # Warm up (compile) then time. NOTE: synchronize via host materialization —
+    # jax.block_until_ready returns early on this TPU backend (axon), which
+    # would inflate throughput by ~1000x.
+    out = infer(variables, data)
+    np.asarray(out["boxes"])
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, data)
+        np.asarray(out["boxes"])
+    elapsed = time.perf_counter() - t0
+
+    clips_per_sec = BATCH * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "clips_per_sec_per_chip_2frame_500ms_infer_b12_896x1600",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Prefetching host loader feeding device-resident batches.
+
+Replaces the reference's torch DataLoader (16 worker processes,
+runs/_loader.py:106-123) with a thread-pool pipeline: sample loading +
+transforms run in parallel host threads (the heavy parts — JPEG decode,
+resize — release the GIL inside OpenCV's native kernels), batches are stacked
+to numpy and `jax.device_put` with the data-parallel sharding so the jitted
+step consumes device-resident global batches while the next batch decodes.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+# Keys stacked into device arrays; everything else (strings) stays host-side.
+ARRAY_KEYS = (
+    "video", "boxes", "classes", "active", "annotated_frame_idx", "ignore_boxes",
+    "translation", "acceleration", "rotation", "rotation_rate", "speed",
+    "temporal_offsets",
+)
+VAL_SEED = 9069788369656784  # the reference's fixed validation seed (_loader.py:104)
+
+
+def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    batch: Dict[str, Any] = {}
+    for key in samples[0]:
+        if key in ARRAY_KEYS:
+            batch[key] = np.stack([np.asarray(s[key]) for s in samples])
+        else:
+            batch[key] = [s[key] for s in samples]
+    return batch
+
+
+class Loader:
+    """Iterable over device-ready batches.
+
+    Args:
+        dataset: indexable with __len__/__getitem__ returning the batch dict.
+        batch_size: global batch size.
+        shuffle: reshuffle every epoch (seeded by epoch for determinism —
+            the DistributedSampler.set_epoch idiom).
+        seed: RNG seed (use VAL_SEED for validation order parity).
+        drop_last: drop the trailing partial batch (train default — keeps
+            shapes static so the step never recompiles).
+        sharding: optional jax sharding for device placement of batches.
+        num_workers: host threads for sample loading.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        sharding=None,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        device_put: bool = True,
+    ):
+        assert len(dataset) > 0, "All loaders must be non-empty"
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.device_put = device_put
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_indices(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed * 100_003 + self._epoch) % (2**63)).shuffle(order)
+        else:
+            np.random.default_rng(self.seed % (2**63)).shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    pending = []
+                    for idxs in self._batch_indices():
+                        if stop.is_set():
+                            return
+                        pending.append(pool.submit(self._load_batch, list(idxs)))
+                        # Bound the in-flight work.
+                        while len(pending) > self.prefetch:
+                            out_q.put(("ok", pending.pop(0).result()))
+                    for fut in pending:
+                        out_q.put(("ok", fut.result()))
+            except Exception as exc:  # propagate into the consumer
+                out_q.put(("err", exc))
+            finally:
+                out_q.put(("done", None))
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, payload = out_q.get()
+                if kind == "done":
+                    return
+                if kind == "err":
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
+
+    def _load_batch(self, idxs):
+        batch = collate([self.dataset[i] for i in idxs])
+        if self.device_put:
+            arrays = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
+            if self.sharding is not None:
+                arrays = jax.device_put(
+                    arrays, jax.tree.map(lambda _: self.sharding, arrays)
+                )
+            else:
+                arrays = jax.device_put(arrays)
+            batch.update(arrays)
+        return batch

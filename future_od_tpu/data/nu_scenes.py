@@ -1,0 +1,300 @@
+"""NuScenes sweep-clip dataset with CAN-bus IMU sync.
+
+Host-side adapter with the contract of the reference's `NuScenesDataset`
+(`/root/reference/future_od/datasets/nu_scenes.py`): samples are camera
+keyframes plus surrounding sweeps matched to `frame_offsets` (seconds, or
+"prev"/"next") by walking the prev/next links with 0.01 s-rounded timestamp
+differences; per-frame CAN-bus pose matched by nearest utime and merged with
+ego_pose; 2D boxes from the pre-exported `image_annotations.json`; IMU made
+relative to the first frame. Requires the `nuscenes` devkit + data on disk.
+"""
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from future_od_tpu.data.nu_images import read_image_rgb
+from future_od_tpu.data.transforms import (
+    JointCenterCrop,
+    JointCompose,
+    JointResize,
+    remap_and_normalize,
+)
+from future_od_tpu.ops.quaternion import relative_pose
+from future_od_tpu.ops.target_utils import construct_box_targets
+
+ORIGINAL_IMSIZE = (900, 1600)
+FRONT_CAMERA = "CAM_FRONT"
+ALL_CAMERAS = (
+    "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT",
+    "CAM_FRONT", "CAM_FRONT_LEFT", "CAM_FRONT_RIGHT",
+)
+CATEGORY_DICT = {
+    0: "Vehicle",
+    1: "Truck",
+    2: "Trailer",
+    3: "Pedestrian",
+    4: "Bus",
+    5: "Motorcyclist",
+    6: "Bicyclist",
+    7: "ConstructionVehicle",
+}
+IGNORE_CATEGORY = len(CATEGORY_DICT)
+DISCARD_CATEGORIES = {
+    "flat.driveable_surface",
+    "movable_object.barrier",
+    "movable_object.debris",
+    "movable_object.pushable_pullable",
+    "movable_object.trafficcone",
+}
+# 8-class taxonomy of nu_scenes.py:47-69.
+CATEGORY_MAP = {
+    "animal": IGNORE_CATEGORY,
+    "human.pedestrian.adult": 3,
+    "human.pedestrian.child": 3,
+    "human.pedestrian.construction_worker": 3,
+    "human.pedestrian.personal_mobility": IGNORE_CATEGORY,
+    "human.pedestrian.police_officer": 3,
+    "human.pedestrian.stroller": IGNORE_CATEGORY,
+    "human.pedestrian.wheelchair": IGNORE_CATEGORY,
+    "static_object.bicycle_rack": IGNORE_CATEGORY,
+    "vehicle.bicycle": 6,
+    "vehicle.bus.bendy": 4,
+    "vehicle.bus.rigid": 4,
+    "vehicle.car": 0,
+    "vehicle.construction": 7,
+    "vehicle.ego": 0,
+    "vehicle.emergency.ambulance": IGNORE_CATEGORY,
+    "vehicle.emergency.police": IGNORE_CATEGORY,
+    "vehicle.motorcycle": 5,
+    "vehicle.trailer": 2,
+    "vehicle.truck": 1,
+}
+SPLIT_TO_VERSION = {
+    "train": "v1.0-trainval",
+    "val": "v1.0-trainval",
+    "mini_train": "v1.0-mini",
+    "mini_val": "v1.0-mini",
+    "test": "v1.0-test",
+}
+
+Offset = Union[float, str]  # seconds, or "prev"/"next"
+
+
+class NuScenesDataset:
+    """nu_scenes.py:78-351 contract; see module docstring."""
+
+    def __init__(
+        self,
+        root_path: str,
+        split: str,
+        night: bool = False,
+        front_camera_only: bool = False,
+        max_num_objects: int = 256,
+        frame_offsets: Sequence[Offset] = (0,),
+        joint_transform=None,
+        annotated_frame_idx_override: Optional[int] = None,
+        filter_offsets: Optional[List[float]] = None,
+    ):
+        from nuscenes import NuScenes  # lazy: devkit optional
+        from nuscenes.can_bus.can_bus_api import NuScenesCanBus
+        from nuscenes.utils.splits import create_splits_scenes
+
+        split = split.replace("-", "_")
+        assert split in SPLIT_TO_VERSION, f"split must be one of {SPLIT_TO_VERSION}"
+        self.root_path = root_path
+        self.max_num_objects = max_num_objects
+        self.frame_offsets = list(frame_offsets)
+        self.joint_transform = joint_transform or JointCompose(
+            [JointResize(size=(256, 962)), JointCenterCrop(size=(256, 960))]
+        )
+        self.annotated_frame_idx_override = annotated_frame_idx_override
+
+        self.nuscenes = NuScenes(version=SPLIT_TO_VERSION[split], dataroot=root_path)
+        self.nusc_can = NuScenesCanBus(dataroot=root_path)
+        self.object_anns_dict = defaultdict(list)
+        self.samples: List[dict] = []
+        self.imus = {}
+        self._init_data(
+            split, night, front_camera_only, filter_offsets, create_splits_scenes
+        )
+
+    def _init_data(self, split, night, front_camera_only, filter_offsets, split_fn):
+        numeric = tuple(o for o in self.frame_offsets if not isinstance(o, str))
+        assert numeric == tuple(sorted(numeric)), "Offsets must be ordered"
+
+        print(f"Filtering out frames belonging to the {split} split")
+        split_scenes = split_fn()[split]
+        # Scenes without CAN-bus data are blacklisted (nu_scenes.py:135).
+        split_scenes = {
+            s for s in split_scenes if int(s[-4:]) not in self.nusc_can.can_blacklist
+        }
+        split_samples = [
+            s
+            for s in self.nuscenes.sample
+            if self.nuscenes.get("scene", s["scene_token"])["name"] in split_scenes
+        ]
+
+        with open(
+            os.path.join(
+                self.nuscenes.dataroot, self.nuscenes.version, "image_annotations.json"
+            )
+        ) as file:
+            for o in json.load(file):
+                if o["category_name"] not in DISCARD_CATEGORIES:
+                    self.object_anns_dict[o["sample_data_token"]].append(o)
+
+        skip_counter = 0
+        cameras = [FRONT_CAMERA] if front_camera_only else ALL_CAMERAS
+        for sample in split_samples:
+            skip_counter += len(cameras)
+            if night:
+                scene = self.nuscenes.get("scene", sample["scene_token"])
+                hour = int(
+                    self.nuscenes.get("log", scene["log_token"])["logfile"].split("-")[4]
+                )
+                if 6 < hour < 18:
+                    continue
+            for camera in cameras:
+                sd = self.nuscenes.get("sample_data", sample["data"][camera])
+                if filter_offsets is not None:
+                    if len(self._surrounding(sd, filter_offsets)) != len(filter_offsets):
+                        continue
+                sds = self._surrounding(sd, self.frame_offsets)
+                if len(sds) < len(self.frame_offsets):
+                    continue
+                self.samples.append(sds)
+                skip_counter -= 1
+
+        self._init_imu(split_scenes)
+        if skip_counter:
+            print(f"skipped {skip_counter} samples")
+
+    def _surrounding(self, sample_data, offsets):
+        """Walk prev/next links matching offsets in seconds ("prev"/"next"
+        match the immediately adjacent sweep) — nu_scenes.py:183-213."""
+        frames = {0.0: sample_data}
+
+        curr = sample_data
+        prev_offsets = [
+            o for o in reversed(offsets) if o != "next" and (o == "prev" or o < 0)
+        ]
+        while prev_offsets and curr["prev"]:
+            curr = self.nuscenes.get("sample_data", curr["prev"])
+            diff = round((curr["timestamp"] - sample_data["timestamp"]) / 1e6, 2)
+            if not isinstance(prev_offsets[0], str) and diff < prev_offsets[0]:
+                break
+            if diff == prev_offsets[0] or prev_offsets[0] == "prev":
+                frames[diff] = curr
+                prev_offsets.pop(0)
+
+        curr = sample_data
+        next_offsets = [
+            o for o in offsets if o != "prev" and (o == "next" or o > 0)
+        ]
+        while next_offsets and curr["next"]:
+            curr = self.nuscenes.get("sample_data", curr["next"])
+            diff = round((curr["timestamp"] - sample_data["timestamp"]) / 1e6, 2)
+            if not isinstance(next_offsets[0], str) and diff > next_offsets[0]:
+                break
+            if diff == next_offsets[0] or next_offsets[0] == "next":
+                frames[diff] = curr
+                next_offsets.pop(0)
+
+        return dict(sorted(frames.items()))
+
+    def _init_imu(self, split_scenes):
+        """Nearest-utime CAN-bus pose per frame, merged with ego_pose
+        (nu_scenes.py:215-231)."""
+        scene_poses, scene_utimes = {}, {}
+        for name in split_scenes:
+            msgs = self.nusc_can.get_messages(scene_name=name, message_name="pose")
+            scene_poses[name] = msgs
+            scene_utimes[name] = np.array([m["utime"] for m in msgs])
+
+        for sds in self.samples:
+            sample = self.nuscenes.get(
+                "sample", next(iter(sds.values()))["sample_token"]
+            )
+            name = self.nuscenes.get("scene", sample["scene_token"])["name"]
+            for _, sd in sorted(sds.items()):
+                idx = int(np.argmin(np.abs(scene_utimes[name] - sd["timestamp"])))
+                pose = scene_poses[name][idx]
+                ego = self.nuscenes.get("ego_pose", sd["ego_pose_token"])
+                self.imus[sd["token"]] = {**pose, **ego}
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _get_imu(self, sds):
+        L = len(sds)
+        translation = np.empty((L, 3), np.float32)
+        acceleration = np.empty((L, 3), np.float32)
+        rotation = np.empty((L, 4), np.float32)
+        rotation_rate = np.empty((L, 3), np.float32)
+        speed = np.empty((L, 1), np.float32)
+        for l, (_, sd) in enumerate(sds.items()):
+            imu = self.imus[sd["token"]]
+            translation[l] = imu["translation"]
+            acceleration[l] = imu["accel"]
+            rotation[l] = imu["rotation"]
+            rotation_rate[l] = imu["rotation_rate"]
+            speed[l] = imu["vel"][0]
+        translation, rotation = relative_pose(translation, rotation)
+        return translation, acceleration, rotation, rotation_rate, speed
+
+    def __getitem__(self, idx):
+        sds = self.samples[idx]
+        keyframe = sds[0]
+        if 0 not in self.frame_offsets:
+            sds = {k: v for k, v in sds.items() if k != 0}
+
+        video = remap_and_normalize(
+            np.stack(
+                [
+                    read_image_rgb(os.path.join(self.root_path, sd["filename"]))
+                    for sd in sds.values()
+                ]
+            )
+        )
+        annotated_frame_idx = (
+            self.annotated_frame_idx_override
+            if self.annotated_frame_idx_override is not None
+            else self.frame_offsets.index(0.0)
+        )
+        imu = self._get_imu(sds)
+
+        annos = self.object_anns_dict[keyframe["token"]]
+        boxes = (
+            np.stack([np.asarray(o["bbox_corners"], np.float32) for o in annos])
+            if annos
+            else np.zeros((0, 4), np.float32)
+        )
+        classes = np.asarray(
+            [CATEGORY_MAP[o["category_name"]] for o in annos], np.int64
+        )
+        video, boxes, classes = self.joint_transform(video, boxes, classes)
+        boxes, classes, ignore_boxes, active = construct_box_targets(
+            boxes, classes, self.max_num_objects, ignore_categories={IGNORE_CATEGORY}
+        )
+        return {
+            "video": video.astype(np.float32),
+            "boxes": boxes,
+            "classes": classes,
+            "active": active,
+            "annotated_frame_idx": np.int64(annotated_frame_idx),
+            "ignore_boxes": ignore_boxes,
+            "weather": "none",
+            "sun_elevation": -1.0,
+            "translation": imu[0].astype(np.float32),
+            "acceleration": imu[1],
+            "rotation": imu[2].astype(np.float32),
+            "rotation_rate": imu[3],
+            "speed": imu[4],
+            "temporal_offsets": np.asarray(list(sds.keys()), np.float32),
+            "idf": f"{idx}",
+        }

@@ -1,0 +1,6 @@
+from future_od_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicate,
+)

@@ -1,0 +1,113 @@
+"""The jitted train/eval steps.
+
+One XLA program per step: forward -> on-device matching + set loss -> grads ->
+frozen masking + global-norm clip + AdamW -> post-proc -> mAP intermediaries.
+The reference spreads this over eager torch calls with a host-synced scipy
+matcher in the middle (SURVEY.md §3.2-3.4); here nothing leaves the device but
+scalar stats and the (tiny) AP accumulator tensors.
+
+Sharding: steps are jitted with a data-parallel (+optional tensor-parallel)
+mesh; the batch dict is sharded on dim 0, train-state replicated (or
+model-sharded per parallel/mesh.py). All cross-replica reductions (num_boxes,
+loss stats, AP tensors) fall out of the global-batch program under GSPMD.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from future_od_tpu.metrics.od_map import prepare_od_map_stuffs
+from future_od_tpu.models.set_criterion import CriterionConfig
+from future_od_tpu.models.st_detr import compute_loss, normalize_outputs, post_process
+
+
+class TrainState(NamedTuple):
+    params: Any
+    frozen: Any  # frozen-BN statistics (never updated)
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+BATCH_KEYS_FOR_LOSS = (
+    "video", "boxes", "classes", "active", "annotated_frame_idx",
+    "translation", "acceleration", "rotation", "rotation_rate", "speed",
+    "temporal_offsets",
+)
+
+
+def _forward_and_loss(model, criterion_cfg: CriterionConfig, params, frozen, data,
+                      deterministic: bool, dropout_rng=None):
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    out = model.apply(
+        {"params": params, "frozen": frozen}, data,
+        deterministic=deterministic, rngs=rngs,
+    )
+    annotated, pred_logits, pred_boxes = normalize_outputs(out, data)
+    loss, stats = compute_loss(annotated, data, criterion_cfg)
+    return loss, (stats, pred_logits, pred_boxes)
+
+
+def _postproc_and_map(pred_logits, pred_boxes, data):
+    output, anno_scores, anno_boxes = post_process(pred_logits, pred_boxes, data)
+    H, W = data["video"].shape[2], data["video"].shape[3]
+    od_map_stuffs = prepare_od_map_stuffs(
+        anno_boxes, anno_scores, data["boxes"], data["classes"], data["active"],
+        (H, W),
+    )
+    return output, od_map_stuffs
+
+
+def make_train_step(
+    model, criterion_cfg: CriterionConfig, tx: optax.GradientTransformation
+) -> Callable:
+    """Returns train_step(state, data, rng) ->
+    (state, loss, stats, od_map_stuffs, output)."""
+
+    def train_step(state: TrainState, data: Dict[str, jnp.ndarray], rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_and_loss(
+                model, criterion_cfg, p, state.frozen, data,
+                deterministic=False, dropout_rng=dropout_rng,
+            ),
+            has_aux=True,
+        )
+        (loss, (stats, pred_logits, pred_boxes)), grads = grad_fn(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, state.frozen, opt_state, state.step + 1)
+        output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
+        return new_state, loss, stats, od_map_stuffs, output
+
+    return train_step
+
+
+def make_eval_step(model, criterion_cfg: CriterionConfig) -> Callable:
+    """Returns eval_step(state, data) -> (loss, stats, od_map_stuffs, output)."""
+
+    def eval_step(state: TrainState, data: Dict[str, jnp.ndarray]):
+        loss, (stats, pred_logits, pred_boxes) = _forward_and_loss(
+            model, criterion_cfg, state.params, state.frozen, data,
+            deterministic=True,
+        )
+        output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
+        return loss, stats, od_map_stuffs, output
+
+    return eval_step
+
+
+def make_inference_fn(model) -> Callable:
+    """Returns infer(variables, data) -> post-processed output dict (the
+    deployment/serving path; no targets needed)."""
+
+    def infer(variables, data):
+        out = model.apply(variables, data, deterministic=True)
+        _, pred_logits, pred_boxes = normalize_outputs(out, data)
+        output, _, _ = post_process(pred_logits, pred_boxes, data)
+        return output
+
+    return infer

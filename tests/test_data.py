@@ -1,0 +1,151 @@
+"""Host pipeline tests: joint transforms, synthetic dataset, loader."""
+import numpy as np
+import pytest
+
+from future_od_tpu.data.loader import Loader, collate
+from future_od_tpu.data.synthetic import SyntheticClipDataset
+from future_od_tpu.data.transforms import (
+    JointCenterCrop,
+    JointCompose,
+    JointHorizontalFlip,
+    JointRandomCrop,
+    JointResize,
+    RandomSelect,
+    RandomSizedCrop,
+    SizeFilter,
+    remap_and_normalize,
+)
+
+
+def make_clip(rng, L=2, H=40, W=60, n=3):
+    images = rng.normal(size=(L, H, W, 3)).astype(np.float32)
+    boxes = np.array([[5, 5, 20, 20], [30, 10, 50, 30], [55, 35, 59, 39]], np.float32)[:n]
+    classes = np.arange(n)
+    return images, boxes, classes
+
+
+class TestTransforms:
+    def test_resize_scales_boxes(self, rng):
+        images, boxes, classes = make_clip(rng)
+        out_im, out_boxes, _ = JointResize((80, 120))(images, boxes, classes)
+        assert out_im.shape == (2, 80, 120, 3)
+        np.testing.assert_allclose(out_boxes, boxes * 2.0)
+
+    def test_center_crop_shifts_and_clamps(self, rng):
+        images, boxes, classes = make_clip(rng)
+        out_im, out_boxes, out_cls = JointCenterCrop((20, 40))(images, boxes, classes)
+        assert out_im.shape == (2, 20, 40, 3)
+        # crop origin (10, 10): box0 [5,5,20,20] -> [-5,-5,10,10] -> clamp [0,0,10,10]
+        np.testing.assert_allclose(out_boxes[0], [0, 0, 10, 10])
+        # box2 at [55,35,59,39] is fully outside the crop -> removed
+        assert len(out_cls) == 2
+
+    def test_hflip_boxes(self, rng):
+        images, boxes, classes = make_clip(rng, n=1)
+        out_im, out_boxes, _ = JointHorizontalFlip(p=1.0)(images, boxes, classes)
+        W = images.shape[2]
+        np.testing.assert_allclose(out_boxes[0], [W - 20, 5, W - 5, 20])
+        np.testing.assert_allclose(out_im[:, :, 0], images[:, :, -1])
+
+    def test_hflip_probability_zero(self, rng):
+        images, boxes, classes = make_clip(rng, n=1)
+        out_im, out_boxes, _ = JointHorizontalFlip(p=0.0)(images, boxes, classes)
+        np.testing.assert_allclose(out_boxes, boxes)
+
+    def test_random_sized_crop_keeps_shapes_consistent(self, rng):
+        images, boxes, classes = make_clip(rng)
+        out_im, out_boxes, out_cls = RandomSizedCrop(0.5, 1.0)(images, boxes, classes)
+        assert out_im.ndim == 4 and len(out_boxes) == len(out_cls)
+        h, w = out_im.shape[1:3]
+        assert (out_boxes[:, 0::2] <= w).all() and (out_boxes[:, 1::2] <= h).all()
+
+    def test_size_filter(self, rng):
+        images, boxes, classes = make_clip(rng)
+        # 40x60 image; min_size 0.05 -> area > 120: keeps [15x15=225] and
+        # [20x20=400], drops [4x4=16]
+        _, out_boxes, _ = SizeFilter(0.05)(images, boxes, classes)
+        assert len(out_boxes) == 2
+
+    def test_random_select(self, rng):
+        images, boxes, classes = make_clip(rng)
+        t = RandomSelect(
+            JointCompose([JointResize((80, 120))]), JointCompose([]), p=1.0
+        )
+        out_im, _, _ = t(images, boxes, classes)
+        assert out_im.shape[1] == 80
+
+    def test_remap_normalize_roundtrip(self):
+        u8 = np.full((1, 4, 4, 3), 255, np.uint8)
+        out = remap_and_normalize(u8)
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
+        np.testing.assert_allclose(out[0, 0, 0], (1.0 - mean) / std, rtol=1e-5)
+
+
+class TestSynthetic:
+    def test_contract(self):
+        ds = SyntheticClipDataset(num_samples=4)
+        s = ds[0]
+        L, (H, W) = ds.num_frames, ds.image_size
+        assert s["video"].shape == (L, H, W, 3)
+        assert s["boxes"].shape == (256, 4) and s["active"].shape == (256,)
+        assert s["translation"].shape == (L, 3) and s["rotation"].shape == (L, 4)
+        assert s["temporal_offsets"].shape == (L,)
+        assert int(s["annotated_frame_idx"]) == L - 1
+        assert s["active"].sum() >= 1
+
+    def test_deterministic(self):
+        ds = SyntheticClipDataset(num_samples=4)
+        a, b = ds[1], ds[1]
+        np.testing.assert_allclose(a["video"], b["video"])
+        np.testing.assert_allclose(a["boxes"], b["boxes"])
+
+    def test_future_frame_has_no_boxes_drawn(self):
+        # the annotated (last) frame must NOT contain the rendered rectangles:
+        # the model has to extrapolate, not detect
+        ds = SyntheticClipDataset(num_samples=2)
+        s = ds[0]
+        past, future = s["video"][0], s["video"][-1]
+        # variance of the future frame is pure noise; past frames contain
+        # large flat rectangles -> noticeably different structure
+        assert np.abs(future.std() - s["video"][1].std()) < 0.5  # sanity
+        assert not np.allclose(past, future)
+
+
+class TestLoader:
+    def test_batching_and_contract(self):
+        ds = SyntheticClipDataset(num_samples=10)
+        loader = Loader(ds, batch_size=4, shuffle=True, device_put=False)
+        batches = list(loader)
+        assert len(batches) == 2  # drop_last
+        b = batches[0]
+        assert b["video"].shape[0] == 4
+        assert b["annotated_frame_idx"].shape == (4,)
+        assert isinstance(b["idf"], list) and len(b["idf"]) == 4
+
+    def test_epoch_shuffling_differs(self):
+        ds = SyntheticClipDataset(num_samples=16)
+        loader = Loader(ds, batch_size=8, shuffle=True, device_put=False)
+        loader.set_epoch(0)
+        first = [b["idf"] for b in loader]
+        loader.set_epoch(1)
+        second = [b["idf"] for b in loader]
+        assert first != second
+
+    def test_val_order_fixed(self):
+        ds = SyntheticClipDataset(num_samples=16)
+        l1 = Loader(ds, batch_size=8, shuffle=False, seed=123, device_put=False)
+        l2 = Loader(ds, batch_size=8, shuffle=False, seed=123, device_put=False)
+        assert [b["idf"] for b in l1] == [b["idf"] for b in l2]
+
+    def test_worker_exception_propagates(self):
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        loader = Loader(Bad(), batch_size=2, device_put=False)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
