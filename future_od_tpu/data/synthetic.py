@@ -72,7 +72,9 @@ class SyntheticClipDataset:
             x2 = c[:, 0] + sizes[:, 0] / 2
             y2 = c[:, 1] + sizes[:, 1] / 2
             boxes_per_frame.append(np.stack([x1, y1, x2, y2], axis=1))
-            if l < L - 1:  # the future frame shows background only
+            # The future (annotated) frame shows background only — except in
+            # the single-frame case, which is plain detection.
+            if l < L - 1 or L == 1:
                 for o in range(n_obj):
                     xi1, yi1 = max(int(x1[o]), 0), max(int(y1[o]), 0)
                     xi2, yi2 = min(int(x2[o]), W), min(int(y2[o]), H)

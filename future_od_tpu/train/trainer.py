@@ -1,0 +1,406 @@
+"""Epoch-based training/eval driver.
+
+TPU-native re-design of `/root/reference/future_od/trainer.py`: the same
+operational surface (epoch loop, per-epoch eval, AverageMeter stats, capped
+AP accumulation, hardest-batch tracking, visualization schedule, W&B,
+checkpoint save/load, signal-based clean exit) over jitted steps. All compute
+stays in one XLA program per step; the host loop only moves scalars, the tiny
+AP accumulator tensors, and (on visualization steps) the prediction dict.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from future_od_tpu.metrics.od_map import aggregate_mean_average_precision
+from future_od_tpu.models.set_criterion import CriterionConfig
+from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+from future_od_tpu.train.optimizer import build_optimizer, get_lr_func, set_learning_rates
+from future_od_tpu.train.step import TrainState, make_eval_step, make_train_step
+from future_od_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from future_od_tpu.utils.signals import EXIT, install_signal_handlers
+from future_od_tpu.utils.stats import AverageMeter
+from future_od_tpu.utils.visualization import visualize, visualize_wandb
+from future_od_tpu.utils.wandb import WandBConfig, maybe_import_wandb
+
+AP_IMAGE_CAP = 10_000  # accumulate AP stats from at most 10k images (trainer.py:203-204)
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        detr_args: SpatioTemporalDETRArgs,
+        train_loader,
+        val_loaders,
+        checkpoint_path: str,
+        visualization_path: str,
+        save_name: str,
+        category_dict: Dict[int, str],
+        lr_func: Optional[Callable[[int], float]] = None,
+        print_interval: int = 25,
+        visualization_epochs=(),
+        visualization_iterations=(0,),
+        checkpoint_epochs: bool = True,
+        wandb_config: Optional[WandBConfig] = None,
+        matching_mode: str = "per level",
+        mesh=None,
+        seed: int = 0,
+        variables: Optional[Dict[str, Any]] = None,
+    ):
+        install_signal_handlers()
+        self._model = model
+        self._args = detr_args
+        self._criterion_cfg = detr_args.criterion_config(matching_mode)
+        self._train_loader = train_loader
+        self._val_loaders = (
+            {f"val{idx}": ldr for idx, ldr in enumerate(val_loaders)}
+            if isinstance(val_loaders, (list, tuple))
+            else dict(val_loaders)
+        )
+        if self._train_loader is not None:
+            assert len(self._train_loader) > 0, "All loaders must be non-empty"
+        assert all(len(l) > 0 for l in self._val_loaders.values()), (
+            "All loaders must be non-empty"
+        )
+
+        self._checkpoint_path = checkpoint_path
+        self._visualization_path = visualization_path
+        self._save_name = save_name
+        self._category_dict = category_dict
+        self._lr_func = lr_func or (lambda e: 1.0)
+        self._print_interval = print_interval
+        self._visualization_epochs = set(visualization_epochs)
+        self._visualization_iterations = set(visualization_iterations)
+        self._save_checkpoints = checkpoint_epochs
+        self._wandb_config = wandb_config or WandBConfig()
+        self._mesh = mesh
+        self._rng = jax.random.key(seed)
+
+        # Stats meters per (mode, stat key) (trainer.py:71-77).
+        self._stat_idfs = ("labels", "box_l1", "box_giou", "cardinality", "class_error")
+        self._stats: Dict[str, AverageMeter] = {}
+        for mode in ["train"] + list(self._val_loaders.keys()):
+            for key in self._stat_idfs:
+                self._stats[f"{mode} {key} loss"] = AverageMeter()
+
+        self._epoch = 0
+        self._training_iterations = 0
+        self._wandb = None
+
+        # Initialize params / optimizer / jitted steps.
+        if variables is None:
+            example = self._example_batch()
+            variables = jax.jit(
+                lambda k: model.init({"params": k}, example, deterministic=True)
+            )(jax.random.key(seed))
+        self._tx, opt_state = build_optimizer(
+            variables["params"],
+            lr=detr_args.lr,
+            lr_backbone=detr_args.lr_backbone,
+            weight_decay=detr_args.weight_decay,
+            max_norm=detr_args.max_norm,
+        )
+        self.state = TrainState(
+            params=variables["params"],
+            frozen=variables.get("frozen", {}),
+            opt_state=opt_state,
+            step=jnp.int32(0),
+        )
+        donate = (0,)
+        self._train_step = jax.jit(
+            make_train_step(model, self._criterion_cfg, self._tx), donate_argnums=donate
+        )
+        self._eval_step = jax.jit(make_eval_step(model, self._criterion_cfg))
+
+    # ------------------------------------------------------------------
+    def _example_batch(self):
+        loader = self._train_loader or next(iter(self._val_loaders.values()))
+        return self._device_batch(next(iter(loader)))
+
+    @staticmethod
+    def _device_batch(batch):
+        from future_od_tpu.data.loader import ARRAY_KEYS
+
+        return {k: v for k, v in batch.items() if k in ARRAY_KEYS}
+
+    # ------------------------------------------------------------------
+    def train(self, max_epochs: int):
+        self._setup_wandb(tags=["training"])
+        print(f"Training epochs {self._epoch + 1} to {max_epochs}.")
+        for epoch in range(self._epoch + 1, max_epochs + 1):
+            self._epoch = epoch
+            self._train_loader.set_epoch(epoch)
+            factor = self._lr_func(epoch - 1)
+            self.state = self.state._replace(
+                opt_state=set_learning_rates(
+                    self.state.opt_state,
+                    self._args.lr * factor,
+                    self._args.lr_backbone * factor,
+                )
+            )
+            print(f"Starting epoch {epoch} with lr factor {factor}")
+            self._run_epoch("train", self._train_loader, training=True)
+            self._run_eval()
+            for meter in self._stats.values():
+                meter.new_epoch()
+            if EXIT.is_set():
+                return
+            if self._save_checkpoints:
+                print("Saving Checkpoint")
+                self.save_checkpoint(is_final=(epoch == max_epochs))
+        print("Finished training!")
+
+    def eval(self):
+        self._setup_wandb(tags=["eval"])
+        print("Running eval.")
+        self._run_eval()
+
+    def _run_eval(self):
+        for name, loader in self._val_loaders.items():
+            self._run_epoch(name, loader, training=False)
+
+    # ------------------------------------------------------------------
+    def _setup_wandb(self, tags=None):
+        conf = self._wandb_config
+        if not conf.enabled:
+            return
+        wandb = maybe_import_wandb()
+        if wandb is None:
+            print("wandb not installed; disabling W&B logging")
+            self._wandb_config.enabled = False
+            return
+        wandb.init(
+            project=conf.project,
+            entity=conf.entity,
+            config=conf.hyperparams,
+            name=conf.name,
+            notes=conf.notes,
+            resume="must" if conf.resume_id else None,
+            id=conf.resume_id,
+            tags=tags,
+        )
+        self._wandb = wandb
+
+    # ------------------------------------------------------------------
+    def _run_epoch(self, mode: str, data_loader, training: bool):
+        num_iterations = len(data_loader)
+        od_map_stuff_lst = [[], [], [], []]
+        hardest = {"loss": -1e10, "data": None, "output": None}
+        batch_size = data_loader.batch_size
+        stats_keys = list(self._stat_idfs)
+        t_start = time.time()
+
+        for i, batch in enumerate(data_loader):
+            if EXIT.is_set():
+                return
+            data = self._device_batch(batch)
+            visualize_now = (
+                i in self._visualization_iterations
+                and self._epoch in self._visualization_epochs
+            )
+
+            if training:
+                self.state, loss, stats, od_map_stuffs, output = self._train_step(
+                    self.state, data, self._rng
+                )
+                self._training_iterations += 1
+            else:
+                loss, stats, od_map_stuffs, output = self._eval_step(self.state, data)
+
+            loss = float(np.asarray(loss))
+            stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+            for key, value in stats.items():
+                self._stats[f"{mode} {key} loss"].update(value, 1)
+
+            if loss > hardest["loss"]:
+                hardest = {"loss": loss, "data": batch, "output": _to_host(output)}
+
+            if i * batch_size < AP_IMAGE_CAP:
+                for idx, elem in enumerate(od_map_stuffs):
+                    od_map_stuff_lst[idx].append(np.asarray(elem))
+
+            if visualize_now:
+                self.visualize_batch(batch, _to_host(output), mode)
+            if (i + 1) % self._print_interval == 0:
+                loss_str = "  ".join(
+                    f"{self._stats[f'{mode} {k} loss'].avg:.5f} ({k})"
+                    for k in stats_keys
+                )
+                print(
+                    f"[{mode}: {self._epoch}, {i + 1:4d}/{num_iterations}] Loss: {loss_str}."
+                )
+
+        loss_items = [
+            (self._stats[f"{mode} {k} loss"].avg, k) for k in stats_keys
+        ]
+        loss_str = "  ".join(f"{v:.5f} ({k})" for v, k in loss_items)
+        dt = time.time() - t_start
+        print(f"[{mode}: {self._epoch}] Loss: {loss_str}  ({dt:.1f}s)")
+
+        if not od_map_stuff_lst[0]:
+            return
+        ap = aggregate_mean_average_precision(
+            np.concatenate(od_map_stuff_lst[0], axis=2),
+            np.concatenate(od_map_stuff_lst[1], axis=2),
+            np.concatenate(od_map_stuff_lst[2], axis=2),
+            np.stack(od_map_stuff_lst[3], axis=2),
+        )
+        self._last_ap = ap
+        print("AP50 for epoch is:", " ".join(f"{v:.3f}" for v in ap["all"][0, :, 0]))
+        print("MAP for epoch is:", " ".join(f"{v:.3f}" for v in ap["threshavg"][:, 0]))
+        for size_idx, size in [(1, "small"), (2, "medium"), (3, "large")]:
+            print(
+                f"MAP for {size} objects is:",
+                " ".join(f"{v:.3f}" for v in ap["threshavg"][:, size_idx]),
+            )
+
+        if self._wandb_config.enabled and self._wandb is not None:
+            log = {"epoch": self._epoch, "iteration": self._training_iterations}
+            for style in ["classavg", "generic"]:
+                for size_idx, size in enumerate(["", "-small", "-medium", "-large"]):
+                    log[f"{mode}-{style}/ap{size}"] = ap[f"{style} threshavg"][size_idx]
+                    log[f"{mode}-{style}/ap50{size}"] = ap[style][0, size_idx]
+                    log[f"{mode}-{style}/ap70{size}"] = ap[style][4, size_idx]
+            for class_idx, class_name in enumerate(self._category_dict.values()):
+                log[f"{mode}-class/ap_{class_name}"] = ap["threshavg"][class_idx, 0]
+                log[f"{mode}-class/ap50_{class_name}"] = ap["all"][0, class_idx, 0]
+                log[f"{mode}-class/ap70_{class_name}"] = ap["all"][4, class_idx, 0]
+            for val, name in loss_items:
+                log[f"{mode}-losses/{name}"] = val
+            self._wandb.log(log)
+            if self._epoch in self._visualization_epochs and hardest["data"] is not None:
+                self.visualize_batch(
+                    hardest["data"], hardest["output"], mode, prefix="hardest_"
+                )
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, is_final: bool = False):
+        arrays = {
+            "params": self.state.params,
+            "frozen": self.state.frozen,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        meta = {
+            "net_type": type(self._model).__name__,
+            "epoch": self._epoch,
+            "stats": {k: m.state_dict() for k, m in self._stats.items()},
+        }
+        save_checkpoint(self._checkpoint_path, self._save_name, arrays, meta)
+        if is_final:
+            save_checkpoint(
+                self._checkpoint_path,
+                self._save_name + "_final",
+                {"params": self.state.params, "frozen": self.state.frozen},
+                {"net_type": meta["net_type"]},
+            )
+
+    def load_checkpoint(self, checkpoint: Optional[str] = None, load_only_net=False):
+        """checkpoint: None -> <ckpt_path>/<save_name>; str -> explicit path
+        split into (dir, name)."""
+        if checkpoint is None:
+            ckpt_dir, name = self._checkpoint_path, self._save_name
+        else:
+            path = os.path.expanduser(checkpoint)
+            ckpt_dir, name = os.path.dirname(path) or ".", os.path.basename(path)
+        print(f"Loading checkpoint: {os.path.join(ckpt_dir, name)}")
+        if load_only_net:
+            target = {"params": self.state.params, "frozen": self.state.frozen}
+        else:
+            target = {
+                "params": self.state.params,
+                "frozen": self.state.frozen,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            }
+        restored = load_checkpoint(ckpt_dir, name, target=target)
+        if restored is None:
+            print(
+                "WARNING: Attempted to load checkpoint, but it does not exist. "
+                "Continuing without loading."
+            )
+            return
+        arrays, meta = restored
+        assert meta.get("net_type") == type(self._model).__name__, (
+            "Network is not of correct type"
+        )
+        if load_only_net:
+            self.state = self.state._replace(
+                params=arrays["params"], frozen=arrays["frozen"]
+            )
+        else:
+            self.state = TrainState(
+                params=arrays["params"],
+                frozen=arrays["frozen"],
+                opt_state=arrays["opt_state"],
+                step=jnp.asarray(arrays["step"], jnp.int32),
+            )
+            self._epoch = int(meta.get("epoch", 0))
+            for key, meter_state in meta.get("stats", {}).items():
+                if key in self._stats:
+                    self._stats[key].load_state_dict(meter_state)
+        print(f"Loaded: {os.path.join(ckpt_dir, name)}")
+
+    # ------------------------------------------------------------------
+    def visualize_batch(self, batch, output, mode: str, prefix: str = ""):
+        """PNG + W&B box overlays (trainer.py:334-413)."""
+        scores = np.asarray(output["class_scores"])  # (B, L_out, 1, M, C+1)
+        boxes = np.asarray(output["boxes"])
+        B, L_out = scores.shape[:2]
+        video = np.asarray(batch["video"])
+        L_in = video.shape[1]
+        assert L_in == L_out or L_out == 1
+        background = scores.shape[-1]
+        anno_classes = np.asarray(batch["classes"]).copy()
+        anno_active = np.asarray(batch["active"])
+        anno_classes[anno_active == 0] = background
+        anno_boxes = np.asarray(batch["boxes"])
+        anno_frame = np.asarray(batch["annotated_frame_idx"])
+        ignore_boxes = np.asarray(batch.get("ignore_boxes", np.zeros_like(anno_boxes)))
+
+        wandb_images = []
+        for b in range(min(B, max(4, self._wandb_config.num_images))):
+            fpath = os.path.join(
+                self._visualization_path, f"{prefix}{mode}_b{b}_anno.png"
+            )
+            visualize(
+                video[b, anno_frame[b]], anno_classes[b], anno_boxes[b], fpath,
+                background,
+            )
+            for l in range(L_in):
+                has_anno = l == anno_frame[b]
+                has_det = L_in == L_out or has_anno
+                if not has_det:
+                    continue
+                l_det = l if L_out == L_in else 0
+                if self._wandb_config.enabled and b < self._wandb_config.num_images:
+                    img = visualize_wandb(
+                        image=video[b, l],
+                        pred_scores=scores[b, l_det, 0],
+                        pred_boxes=boxes[b, l_det, 0],
+                        background_class=background,
+                        category_dict=self._category_dict,
+                        anno_classes=anno_classes[b] if has_anno else None,
+                        anno_boxes=anno_boxes[b] if has_anno else None,
+                        ignore_boxes=ignore_boxes[b] if has_anno else None,
+                    )
+                    if img is not None:
+                        wandb_images.append(img)
+        if wandb_images and self._wandb is not None:
+            self._wandb.log(
+                {
+                    f"visualization/{prefix}{mode}_bounding_boxes": wandb_images,
+                    "epoch": self._epoch,
+                }
+            )

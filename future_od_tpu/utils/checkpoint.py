@@ -1,32 +1,46 @@
-"""Checkpoint save/load (orbax).
+"""Checkpoint save/load (orbax + JSON sidecar).
 
 The reference writes a single `.pth.tar` per run, overwritten each epoch, plus
 a `_final` net-only export (trainer.py:282-328). Equivalents here:
-`<dir>/<name>/` holds the full train state {params, frozen, opt_state, epoch,
-step, stats}; `<dir>/<name>_final/` holds {params, frozen} only.
+`<dir>/<name>/` holds the array state (params, frozen stats, optimizer state,
+step) via orbax plus a `meta.json` sidecar (epoch, net_type, stat meters);
+`<dir>/<name>_final/` holds {params, frozen} only.
+
+Array trees are restored against a matching target tree so optax NamedTuple
+opt-states keep their structure (orbax would otherwise round-trip them as
+plain dicts).
 """
 from __future__ import annotations
 
+import json
 import os
 import shutil
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import orbax.checkpoint as ocp
+
+META_FILE = "meta.json"
+ARRAYS_DIR = "arrays"
 
 
 def _path(checkpoint_dir: str, name: str) -> str:
     return os.path.abspath(os.path.join(checkpoint_dir, name))
 
 
-def save_checkpoint(checkpoint_dir: str, name: str, tree: Any) -> str:
-    """Atomically overwrite <dir>/<name> with the pytree."""
+def save_checkpoint(
+    checkpoint_dir: str, name: str, arrays: Any, meta: Optional[dict] = None
+) -> str:
+    """Atomically overwrite <dir>/<name> with the array pytree + meta dict."""
     path = _path(checkpoint_dir, name)
     os.makedirs(checkpoint_dir, exist_ok=True)
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    os.makedirs(tmp)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(tmp, tree)
+        ckptr.save(os.path.join(tmp, ARRAYS_DIR), arrays)
+    with open(os.path.join(tmp, META_FILE), "w") as f:
+        json.dump(meta or {}, f)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
@@ -35,13 +49,20 @@ def save_checkpoint(checkpoint_dir: str, name: str, tree: Any) -> str:
 
 def load_checkpoint(
     checkpoint_dir: str, name: str, target: Optional[Any] = None
-) -> Optional[Any]:
-    """Restore <dir>/<name>; returns None when absent. `target` (a matching
-    pytree of arrays) restores with correct dtypes/shardings."""
+) -> Optional[Tuple[Any, dict]]:
+    """Restore <dir>/<name> -> (arrays, meta); None when absent. `target`
+    (a matching pytree) preserves container types and dtypes."""
     path = _path(checkpoint_dir, name)
-    if not os.path.exists(path):
+    if not os.path.isdir(path):
         return None
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
-            return ckptr.restore(path, item=target)
-        return ckptr.restore(path)
+            arrays = ckptr.restore(os.path.join(path, ARRAYS_DIR), item=target)
+        else:
+            arrays = ckptr.restore(os.path.join(path, ARRAYS_DIR))
+    meta_path = os.path.join(path, META_FILE)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return arrays, meta

@@ -1,0 +1,92 @@
+"""Shared run-script helpers (reference: runs/_helper.py).
+
+Builds the Trainer from loaders + model + args, the base argparse surface, and
+the LR schedule. The TPU build has no per-process distributed launcher: the
+`--mesh_model` flag sizes the tensor-parallel axis, the data axis takes the
+remaining local devices, and the single jitted program spans them.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from future_od_tpu.data import nu_images, nu_scenes, synthetic
+from future_od_tpu.train.optimizer import get_lr_func  # noqa: F401  (re-export)
+from future_od_tpu.train.trainer import Trainer
+from future_od_tpu.utils.wandb import WandBConfig
+
+
+def category_dict_for(train_loader):
+    ds = train_loader.dataset
+    if isinstance(ds, synthetic.SyntheticClipDataset):
+        return synthetic.CATEGORY_DICT
+    if type(ds).__name__ == "NuImagesDataset":
+        return nu_images.CATEGORY_DICT
+    return nu_scenes.CATEGORY_DICT
+
+
+def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loaders):
+    trainer = Trainer(
+        model=model,
+        detr_args=detr_args,
+        train_loader=train_loader,
+        val_loaders=val_loaders,
+        checkpoint_path=config["checkpoint_path"],
+        visualization_path=os.path.join(config["visualization_path"], args.experiment_idf),
+        save_name=args.experiment_idf,
+        category_dict=category_dict_for(train_loader),
+        lr_func=lr_func,
+        print_interval=25,
+        visualization_epochs=set(int(i) for i in np.linspace(1, args.epochs, 10)),
+        visualization_iterations=[0],
+        checkpoint_epochs=not args.no_checkpoints,
+        wandb_config=WandBConfig(
+            enabled=(not args.disable_wandb),
+            name=args.experiment_idf + getattr(args, "wandb_suffix", ""),
+            notes="",
+            num_images=32,
+            hyperparams={
+                "slurm-id": os.environ.get("SLURM_JOB_ID"),
+                "epochs": args.epochs,
+            },
+            resume_id=args.wandb_resume_id,
+        ),
+    )
+    if not args.restart:
+        trainer.load_checkpoint(args.checkpoint, getattr(args, "load_only_net", False))
+    return trainer
+
+
+def build_base_parser():
+    parser = argparse.ArgumentParser(
+        description="Experiment runfile, you run experiments from this file"
+    )
+    parser.add_argument("--restart", action="store_true", default=False)
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--disable_wandb", action="store_true", default=False)
+    parser.add_argument("--wandb_resume_id", default=None)
+    parser.add_argument("--no_checkpoints", action="store_true", default=False)
+    parser.add_argument("--checkpoint", default=None, help="Override checkpoint to be loaded")
+    parser.add_argument("--short_train", action="store_true", default=False)
+    parser.add_argument("--night", action="store_true", default=False)
+    parser.add_argument("--load-only-net", action="store_true", default=False)
+    parser.add_argument(
+        "--synthetic", action="store_true", default=False,
+        help="Use the synthetic moving-box dataset (no real data required)",
+    )
+    add_tpu_args(parser)
+    return parser
+
+
+def add_tpu_args(parser):
+    parser.add_argument(
+        "--mesh_model", default=1, type=int,
+        help="tensor-parallel axis size; data axis = devices / mesh_model",
+    )
+    parser.add_argument(
+        "--matcher", default="auction", choices=["auction", "hungarian"],
+        help="set-matching solver (auction = on-device, hungarian = exact host callback)",
+    )
+    parser.add_argument("--num_workers", default=16, type=int)

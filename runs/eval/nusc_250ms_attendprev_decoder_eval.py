@@ -1,0 +1,9 @@
+"""NuScenes 250 ms eval (reference: runs/eval/nusc_250ms_attendprev_decoder_eval.py)."""
+from runs.eval._common import run_eval
+
+if __name__ == "__main__":
+    run_eval(
+        __file__, "nusc", offsets=[-0.5, -0.25, 0],
+        default_checkpoint="w6_nusc_250ms_attendprev_decoder",
+        filter_offsets=[-0.5, -0.25, 0],
+    )

@@ -1,0 +1,10 @@
+"""NuScenes 50 ms eval (reference: runs/eval/nusc_50ms_attendprev_decoder_eval.py).
+Uses the shared ~83 ms checkpoint with encoded temporal offsets."""
+from runs.eval._common import run_eval
+
+if __name__ == "__main__":
+    run_eval(
+        __file__, "nusc", offsets=["prev", -0.05, 0],
+        default_checkpoint="w6_nusc_83ms_attendprev_decoder",
+        encode_offset=True, filter_offsets=["prev", -0.05, 0],
+    )

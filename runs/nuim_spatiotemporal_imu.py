@@ -1,0 +1,57 @@
+"""NuImages spatiotemporal+IMU run, 500 ms horizon (2 Hz frames)
+(reference: runs/nuim_spatiotemporal_imu.py). Frames [-2, -1, 0] relative to
+the annotated keyframe, 400 epochs with a custom LR schedule.
+"""
+import os
+
+from config import config
+from future_od_tpu.data import nu_images
+from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+from runs._helper import build_base_parser, get_trainer
+from runs._loader import get_nuim_loaders
+from runs._model import build_model
+
+OFFSETS = [-2, -1, 0]
+
+
+def lr_func(e: int) -> float:
+    # nuim_spatiotemporal_imu.py:17-19
+    return (e + 1) / (1 + 20) if e < 20 else 1.0 if e <= 240 else 0.5 if e <= 360 else 0.1
+
+
+def train(model, args, detr_args):
+    print("starting dataset loading...")
+    train_loader, val_loaders = get_nuim_loaders(
+        (448, 800), offsets=OFFSETS, config=config, args=args, train_batch_size=32
+    )
+    trainer = get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loaders)
+
+    print("Starting first training stage")
+    trainer.train(int(args.epochs * 0.60))
+
+    print("Starting second training stage")
+    trainer._train_loader, trainer._val_loaders = get_nuim_loaders(
+        (896, 1600), offsets=OFFSETS, config=config, args=args, train_batch_size=16
+    )
+    trainer.train(args.epochs)
+
+
+def main():
+    print(f"Started script: {os.path.basename(__file__)}")
+    parser = build_base_parser()
+    parser.add_argument("--epochs", default=400, type=int)
+    args = parser.parse_args()
+    args.experiment_idf = os.path.splitext(os.path.basename(__file__))[0]
+    detr_args = SpatioTemporalDETRArgs(
+        num_classes=len(nu_images.CATEGORY_DICT),
+        num_queries=128,
+        lr_backbone=1e-4,
+        matcher=args.matcher,
+    )
+    model = build_model(args, detr_args)
+    print("built model")
+    train(model, args, detr_args)
+
+
+if __name__ == "__main__":
+    main()

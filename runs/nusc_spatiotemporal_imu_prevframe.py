@@ -1,0 +1,54 @@
+"""NuScenes spatiotemporal+IMU run, previous-frame horizon (~50-100 ms)
+(reference: runs/nusc_spatiotemporal_imu_prevframe.py). Offsets
+["prev", "prev", 0] with temporal offsets encoded into the model.
+"""
+import os
+
+from config import config
+from future_od_tpu.data import nu_scenes
+from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+from runs._helper import build_base_parser, get_lr_func, get_trainer
+from runs._loader import get_nusc_loaders
+from runs._model import build_model
+
+OFFSETS = ["prev", "prev", 0]
+
+
+def train(model, args, detr_args):
+    lr_func = get_lr_func(args.epochs)
+    print("starting dataset loading...")
+    train_loader, val_loaders = get_nusc_loaders(
+        (448, 800), offsets=OFFSETS, config=config, args=args, train_batch_size=32
+    )
+    trainer = get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loaders)
+
+    print("Starting first training stage")
+    trainer.train(int(args.epochs * 0.60))
+
+    print("Starting second training stage")
+    trainer._train_loader, trainer._val_loaders = get_nusc_loaders(
+        (896, 1600), offsets=OFFSETS, config=config, args=args, train_batch_size=16
+    )
+    trainer.train(args.epochs)
+
+
+def main():
+    print(f"Started script: {os.path.basename(__file__)}")
+    parser = build_base_parser()
+    parser.add_argument("--epochs", default=160, type=int)
+    args = parser.parse_args()
+    args.experiment_idf = os.path.splitext(os.path.basename(__file__))[0]
+    detr_args = SpatioTemporalDETRArgs(
+        num_classes=len(nu_scenes.CATEGORY_DICT),
+        num_queries=128,
+        lr_backbone=1e-4,
+        encode_offset=True,
+        matcher=args.matcher,
+    )
+    model = build_model(args, detr_args)
+    print("built model")
+    train(model, args, detr_args)
+
+
+if __name__ == "__main__":
+    main()

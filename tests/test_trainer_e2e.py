@@ -1,0 +1,107 @@
+"""End-to-end trainer tests on the synthetic dataset (the reference's
+`--debug` mini-split operational smoke, SURVEY.md §4): full epochs through the
+jitted train/eval steps, AP aggregation, checkpoint save/load/resume."""
+import os
+
+import numpy as np
+import pytest
+
+from future_od_tpu.data.loader import Loader, VAL_SEED
+from future_od_tpu.data.synthetic import CATEGORY_DICT, SyntheticClipDataset
+from future_od_tpu.models.build import build_flagship
+from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+from future_od_tpu.train.trainer import Trainer
+from future_od_tpu.utils.wandb import WandBConfig
+
+TINY = dict(
+    num_classes=2, num_queries=12, hidden_dim=32, enc_layers=1, dec_layers=2,
+    dim_feedforward=64, enc_nheads=4, nheads=4, lr=1e-4, lr_backbone=1e-4,
+)
+
+
+def make_trainer(tmp_path, n_train=8, n_val=4, batch=2, **arg_overrides):
+    args = SpatioTemporalDETRArgs(**{**TINY, **arg_overrides})
+    model = build_flagship(args)
+    train_ds = SyntheticClipDataset(
+        num_samples=n_train, image_size=(64, 96), max_objects=3, seed=1
+    )
+    val_ds = SyntheticClipDataset(
+        num_samples=n_val, image_size=(64, 96), max_objects=3, seed=2
+    )
+    train_loader = Loader(train_ds, batch_size=batch, shuffle=True, num_workers=2)
+    val_loader = Loader(
+        val_ds, batch_size=batch, shuffle=False, seed=VAL_SEED, num_workers=2
+    )
+    trainer = Trainer(
+        model=model,
+        detr_args=args,
+        train_loader=train_loader,
+        val_loaders={"val0": val_loader},
+        checkpoint_path=str(tmp_path / "ckpt"),
+        visualization_path=str(tmp_path / "vis"),
+        save_name="e2e_test",
+        category_dict=CATEGORY_DICT,
+        lr_func=lambda e: 1.0,
+        print_interval=100,
+        visualization_epochs={1},
+        visualization_iterations={0},
+        checkpoint_epochs=True,
+        wandb_config=WandBConfig(enabled=False),
+    )
+    return trainer, args
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_train_eval_checkpoint_resume(self, tmp_path):
+        trainer, args = make_trainer(tmp_path)
+        trainer.train(max_epochs=2)
+        assert trainer._epoch == 2
+        # loss meters populated with finite values and history advanced
+        m = trainer._stats["train labels loss"]
+        assert len(m.history) == 2 and np.isfinite(m.history[-1])
+        # AP got aggregated
+        assert hasattr(trainer, "_last_ap")
+        assert trainer._last_ap["all"].shape[0] == 10
+        # checkpoint exists; PNG visualization written
+        assert os.path.exists(tmp_path / "ckpt" / "e2e_test")
+        assert os.path.exists(tmp_path / "ckpt" / "e2e_test_final")
+        vis_files = list((tmp_path / "vis").glob("*.png"))
+        assert vis_files, "expected PNG visualizations"
+
+        # resume: a fresh trainer loads epoch 2 and continues to 3
+        trainer2, _ = make_trainer(tmp_path)
+        trainer2.load_checkpoint()
+        assert trainer2._epoch == 2
+        p_before = np.asarray(
+            next(iter(jax_leaves(trainer2.state.params)))
+        ).copy()
+        trainer2.train(max_epochs=3)
+        assert trainer2._epoch == 3
+        p_after = np.asarray(next(iter(jax_leaves(trainer2.state.params))))
+        assert not np.allclose(p_before, p_after), "params did not update"
+
+    def test_params_only_load(self, tmp_path):
+        trainer, args = make_trainer(tmp_path)
+        trainer.train(max_epochs=1)
+        trainer2, _ = make_trainer(tmp_path)
+        trainer2.load_checkpoint(
+            str(tmp_path / "ckpt" / "e2e_test_final"), load_only_net=True
+        )
+        assert trainer2._epoch == 0  # only net loaded
+        trainer2.eval()  # must run cleanly from loaded weights
+
+    def test_loss_decreases_on_overfit(self, tmp_path):
+        # overfit 4 fixed clips for several epochs: total train loss must drop
+        trainer, args = make_trainer(tmp_path, n_train=4, batch=2)
+        trainer._save_checkpoints = False
+        trainer.train(max_epochs=6)
+        hist = trainer._stats["train box_l1 loss"].history
+        first, last = hist[0], hist[-1]
+        assert last < first, f"box_l1 did not decrease: {hist}"
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
