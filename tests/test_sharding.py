@@ -1,0 +1,108 @@
+"""Mesh/sharding tests on the 8-virtual-CPU-device platform: dp-only and
+dp x tp training steps must agree with the single-device result."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from future_od_tpu.models.build import build_flagship
+from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+from future_od_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+from future_od_tpu.train.optimizer import build_optimizer
+from future_od_tpu.train.step import TrainState, make_train_step
+
+TINY = dict(
+    num_classes=4, num_queries=8, hidden_dim=32, enc_layers=1, dec_layers=1,
+    dim_feedforward=64, enc_nheads=2, nheads=2, lr_backbone=1e-4,
+)
+
+
+def setup(B=8):
+    import tests.test_models as tm
+
+    args = SpatioTemporalDETRArgs(**TINY)
+    model = build_flagship(args)
+    data = tm.make_data(np.random.default_rng(0), B=B, L=2, H=64, W=64, N=8)
+    variables = model.init({"params": jax.random.key(0)}, data)
+    tx, opt_state = build_optimizer(
+        variables["params"], lr=1e-4, lr_backbone=1e-4, max_norm=0.1
+    )
+    state = TrainState(variables["params"], variables["frozen"], opt_state, jnp.int32(0))
+    step = make_train_step(model, args.criterion_config(), tx)
+    return model, state, step, data
+
+
+class TestSharding:
+    def test_mesh_shapes(self):
+        mesh = make_mesh(num_data=4, num_model=2)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+        mesh = make_mesh()
+        assert mesh.shape["data"] * mesh.shape["model"] == 8
+
+    def test_param_shardings_model_axis(self):
+        mesh = make_mesh(num_data=4, num_model=2)
+        model, state, _, _ = setup()
+        shardings = param_shardings(state.params, mesh)
+        flat = jax.tree_util.tree_leaves_with_path(shardings)
+        specs = {jax.tree_util.keystr(p): s.spec for p, s in flat}
+        # FFN up-projection column-parallel, down row-parallel
+        fc1 = [s for k, s in specs.items() if "feedforward" in k and "fc1" in k and "kernel" in k]
+        fc2 = [s for k, s in specs.items() if "feedforward" in k and "fc2" in k and "kernel" in k]
+        assert all(s == P(None, "model") for s in fc1) and fc1
+        assert all(s == P("model", None) for s in fc2) and fc2
+        # backbone convs replicated
+        conv = [s for k, s in specs.items() if "body" in k and "kernel" in k]
+        assert all(s == P() for s in conv)
+
+    def test_dp_matches_single_device(self):
+        # one train step, replicated vs dp-sharded batch: same loss and params
+        model, state, step, data = setup(B=8)
+        rng = jax.random.key(1)
+        single = jax.jit(step)
+        s1, loss1, stats1, _, _ = single(state, data, rng)
+
+        mesh = make_mesh(num_data=8, num_model=1)
+        repl = NamedSharding(mesh, P())
+        state_sh = TrainState(
+            params=jax.tree.map(lambda _: repl, state.params),
+            frozen=jax.tree.map(lambda _: repl, state.frozen),
+            opt_state=jax.tree.map(lambda _: repl, state.opt_state),
+            step=repl,
+        )
+        data_sh = jax.tree.map(lambda _: batch_sharding(mesh), data)
+        model2, state2, step2, data2 = setup(B=8)
+        state2 = jax.device_put(state2, state_sh)
+        data2 = jax.device_put(data2, data_sh)
+        sharded = jax.jit(
+            step2, in_shardings=(state_sh, data_sh, repl),
+            out_shardings=(state_sh, repl, repl, repl, repl),
+        )
+        s2, loss2, stats2, _, _ = sharded(state2, data2, rng)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+        l1 = jax.tree.leaves(s1.params)[0]
+        l2 = jax.tree.leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-5)
+
+    def test_dp_tp_runs(self):
+        # 4x2 mesh with tensor-parallel params: step executes, loss finite
+        model, state, step, data = setup(B=8)
+        mesh = make_mesh(num_data=4, num_model=2)
+        repl = NamedSharding(mesh, P())
+        p_sh = param_shardings(state.params, mesh)
+        state_sh = TrainState(
+            params=p_sh,
+            frozen=jax.tree.map(lambda _: repl, state.frozen),
+            opt_state=jax.tree.map(lambda _: repl, state.opt_state),
+            step=repl,
+        )
+        data_sh = jax.tree.map(lambda _: batch_sharding(mesh), data)
+        state = jax.device_put(state, state_sh)
+        data = jax.device_put(data, data_sh)
+        sharded = jax.jit(
+            step, in_shardings=(state_sh, data_sh, repl),
+            out_shardings=(state_sh, repl, repl, repl, repl),
+        )
+        _, loss, _, _, _ = sharded(state, data, jax.random.key(1))
+        assert np.isfinite(float(loss))
