@@ -32,6 +32,9 @@ from future_od_tpu.utils.visualization import COLOURS, revert_imagenet_normaliza
 
 
 def main():
+    from future_od_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--synthetic", action="store_true", default=True)

@@ -76,6 +76,52 @@ def build_flagship(
     return SpatioTemporalDETR(core=core, args=args)
 
 
+def build_with_joint_encoder(
+    args: SpatioTemporalDETRArgs,
+    kind: str = "joint",  # "joint" | "sequential" | "f2f"
+    joint_layers: int = 2,
+    num_frames: int = 2,
+    store_attention: bool = False,
+) -> SpatioTemporalDETR:
+    """Flagship variant with a cross-frame joint encoder (the paper's
+    ablations, paper.py:173-277)."""
+    from future_od_tpu.models.cores import (
+        JointEncoder,
+        JointEncoderF2F,
+        JointEncoderSequential,
+    )
+
+    if kind == "joint":
+        joint = JointEncoder(
+            joint_layers, args.hidden_dim, args.enc_nheads, args.dim_feedforward,
+            args.dropout, use_egodeep=True,
+        )
+    elif kind == "sequential":
+        joint = JointEncoderSequential(
+            joint_layers, args.hidden_dim, args.enc_nheads, args.dim_feedforward,
+            args.dropout, num_previmages=num_frames - 1, use_prevout=True,
+            use_egodeep=True,
+        )
+    elif kind == "f2f":
+        joint = JointEncoderF2F(args.hidden_dim, num_frames)
+    else:
+        raise ValueError(f"unknown joint encoder kind: {kind}")
+    core = FuturePredCore(
+        separate_encoder=_separate_encoder(args, use_imu=True),
+        detector=_detector(
+            args,
+            # F2F collapses to one future feature map, so a single image
+            # attention suffices; the others keep the 2-frame memory.
+            num_images=1 if kind == "f2f" else 2,
+            store_attention=store_attention,
+        ),
+        joint_encoder=joint,
+        no_temporal_pos=False,  # joint variants rely on temporal encoding
+        encode_offset=args.encode_offset,
+    )
+    return SpatioTemporalDETR(core=core, args=args)
+
+
 def build_single_frame(args: SpatioTemporalDETRArgs, use_imu: bool = False) -> SpatioTemporalDETR:
     """Single-frame ablation core (paper.py:488-528) — also the CPU-runnable
     minimum end-to-end slice (BASELINE.json config #1)."""

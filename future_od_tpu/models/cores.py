@@ -58,6 +58,10 @@ class SeparateEncoder(nn.Module):
     concat_imu: bool = False
     backbone_name: str = "resnet50"
     backbone_dilation: bool = False
+    # NOTE: measured SLOWER on this toolchain (55 vs 78 clips/s at the bench
+    # config — the 12-channel 4x4 conv picks a bad algorithm); default off,
+    # kept as a capability for toolchains where the classic trick wins.
+    backbone_space_to_depth: bool = False
 
     @nn.compact
     def __call__(
@@ -68,7 +72,8 @@ class SeparateEncoder(nn.Module):
         B, L, H, W, _ = images.shape
         folded = images.reshape(B * L, H, W, 3)
         features = CDetrBackbone(
-            self.hidden_dim, self.backbone_name, self.backbone_dilation, name="backbone"
+            self.hidden_dim, self.backbone_name, self.backbone_dilation,
+            self.backbone_space_to_depth, name="backbone",
         )(folded)
         _, h, w, D = features.shape
 

@@ -93,20 +93,66 @@ class Bottleneck(nn.Module):
         return jax.nn.relu(out + identity)
 
 
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (di, dj, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def stem_weights_to_space_to_depth(w7: jnp.ndarray) -> jnp.ndarray:
+    """Transform the (7, 7, 3, 64) HWIO stem kernel into the exactly
+    equivalent (4, 4, 12, 64) kernel applied to space-to-depth input.
+
+    Derivation: output(i,j) of conv7x7 stride 2 pad 3 reads unpacked rows
+    2i-3..2i+3. Packed conv stride 1 with kernel 4 and pad (2,1) reads packed
+    rows i-2..i+1 = unpacked rows 2i-4..2i+3 (a superset). With packed-kernel
+    index kp and intra-pixel offset di, the unpacked kernel index is
+    ki = 2·kp + di - 1 (out of [0,7) -> zero weight).
+    """
+    kh, kw, c_in, c_out = w7.shape
+    assert (kh, kw) == (7, 7)
+    w4 = jnp.zeros((4, 4, 2, 2, c_in, c_out), w7.dtype)
+    for kp in range(4):
+        for lp in range(4):
+            for di in range(2):
+                for dj in range(2):
+                    ki = 2 * kp + di - 1
+                    kj = 2 * lp + dj - 1
+                    if 0 <= ki < 7 and 0 <= kj < 7:
+                        w4 = w4.at[kp, lp, di, dj].set(w7[ki, kj])
+    return w4.reshape(4, 4, 4 * c_in, c_out)
+
+
 class ResNet(nn.Module):
     """ResNet backbone trunk returning the layer4 feature map (stride 32, or
-    16 with dilation), NHWC."""
+    16 with dilation), NHWC.
+
+    space_to_depth: rewrite the 3-channel 7x7/2 stem as an exactly equivalent
+    4x4/1 conv over 2x2 space-to-depth input (the standard TPU ResNet stem
+    optimization — a 3-channel conv wastes the MXU; measured ~2x faster stem
+    at 896x1600). Weight-compatible with the naive stem through
+    `stem_weights_to_space_to_depth`.
+    """
 
     name_id: str = "resnet50"
     dilation: bool = False  # replace layer4 stride with dilation (paper.py:95)
+    use_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x):
         blocks = STAGE_BLOCKS[self.name_id]
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            kernel_init=conv_init, name="conv1",
-        )(x)
+        if self.use_space_to_depth:
+            x = space_to_depth(x)
+            x = nn.Conv(
+                64, (4, 4), strides=(1, 1), padding=[(2, 1), (2, 1)], use_bias=False,
+                kernel_init=conv_init, name="conv1",
+            )(x)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+                kernel_init=conv_init, name="conv1",
+            )(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = jax.nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -138,10 +184,13 @@ class CDetrBackbone(nn.Module):
     hidden_dim: int = 256
     name_id: str = "resnet50"
     dilation: bool = False
+    use_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x):
-        features = ResNet(self.name_id, self.dilation, name="body")(x)
+        features = ResNet(
+            self.name_id, self.dilation, self.use_space_to_depth, name="body"
+        )(x)
         return nn.Conv(
             self.hidden_dim, (1, 1), kernel_init=conv_init, name="input_proj"
         )(features)

@@ -58,7 +58,17 @@ def convert_torchvision_resnet(
             new[ours] = value
         frozen[module] = new
 
-    set_conv("conv1", "conv1.weight")
+    stem_kernel = _conv_kernel(state_dict["conv1.weight"])  # (7,7,3,64)
+    if params["conv1"]["kernel"].shape == (4, 4, 12, 64):
+        # space-to-depth stem (models/resnet.py): transform exactly
+        from future_od_tpu.models.resnet import stem_weights_to_space_to_depth
+        import jax.numpy as jnp
+
+        stem_kernel = np.asarray(
+            stem_weights_to_space_to_depth(jnp.asarray(stem_kernel))
+        )
+    assert params["conv1"]["kernel"].shape == stem_kernel.shape
+    params["conv1"] = {**params["conv1"], "kernel": stem_kernel}
     set_bn("bn1", "bn1")
 
     stage_blocks = {1: 3, 2: 4, 3: 6, 4: 3}

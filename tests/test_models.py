@@ -271,3 +271,48 @@ class TestTracker:
             temporal_offsets=np.array([[-1.0, -0.5, 0.0]], np.float32),
         )
         np.testing.assert_allclose(out["pred_boxes"][0, 0, 0], 0.6, atol=1e-6)
+
+
+class TestSpaceToDepthStem:
+    def test_exact_equivalence_with_weight_transform(self, rng):
+        import jax.numpy as jnp
+        from future_od_tpu.models.resnet import (
+            space_to_depth,
+            stem_weights_to_space_to_depth,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+        w7 = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32))
+        y1 = jax.lax.conv_general_dilated(
+            x, w7, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        w4 = stem_weights_to_space_to_depth(w7)
+        y2 = jax.lax.conv_general_dilated(
+            space_to_depth(x), w4, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
+
+    def test_backbone_flag(self, rng):
+        from future_od_tpu.models.resnet import CDetrBackbone
+
+        m = CDetrBackbone(hidden_dim=32, use_space_to_depth=True)
+        x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
+        variables = m.init(jax.random.key(0), x)
+        assert variables["params"]["body"]["conv1"]["kernel"].shape == (4, 4, 12, 64)
+        out = m.apply(variables, x)
+        assert out.shape == (1, 2, 3, 32)
+
+
+class TestJointEncoderBuilds:
+    @pytest.mark.parametrize("kind", ["joint", "sequential", "f2f"])
+    def test_forward(self, kind):
+        from future_od_tpu.models.build import build_with_joint_encoder
+
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = build_with_joint_encoder(args, kind=kind, joint_layers=1)
+        data = make_data(np.random.default_rng(4), L=3)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        assert out["pred_logits"].shape == (2, 16, 8)
