@@ -1,0 +1,81 @@
+"""Auxiliary benchmark: training-step throughput at the stage-1 config.
+
+(bench.py remains the driver's single-line headline benchmark; this measures
+the full jitted train step — forward + on-device matching/loss + backward +
+clipped AdamW + mAP intermediaries — at batch 32 @ 448x800, the reference's
+stage-1 training configuration.)
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from future_od_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from future_od_tpu.models.build import build_flagship
+    from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+    from future_od_tpu.train.optimizer import build_optimizer
+    from future_od_tpu.train.step import TrainState, make_train_step
+
+    B, L, H, W, N = 32, 3, 448, 800, 256
+    args = SpatioTemporalDETRArgs(num_classes=8, num_queries=128, lr_backbone=1e-4)
+    model = build_flagship(args)
+
+    rng = np.random.default_rng(0)
+    boxes_wh = np.abs(rng.normal(size=(B, N, 4))).astype(np.float32) * 40
+    data = {
+        "video": jnp.asarray(rng.normal(size=(B, L, H, W, 3)).astype(np.float32)),
+        "boxes": jnp.asarray(
+            np.concatenate([boxes_wh[..., :2], boxes_wh[..., :2] + boxes_wh[..., 2:]], -1)
+        ),
+        "classes": jnp.asarray(rng.integers(0, 8, size=(B, N))),
+        "active": jnp.asarray((rng.uniform(size=(B, N)) < 0.1).astype(np.int64)),
+        "annotated_frame_idx": jnp.asarray([L - 1] * B),
+    }
+    for key, d in [
+        ("translation", 3), ("acceleration", 3), ("rotation", 4),
+        ("rotation_rate", 3), ("speed", 1),
+    ]:
+        data[key] = jnp.asarray(rng.normal(size=(B, L, d)).astype(np.float32))
+
+    variables = jax.jit(
+        lambda k: model.init({"params": k}, data, deterministic=True)
+    )(jax.random.key(0))
+    tx, opt_state = build_optimizer(
+        variables["params"], lr=args.lr, lr_backbone=args.lr_backbone,
+        weight_decay=args.weight_decay, max_norm=args.max_norm,
+    )
+    state = TrainState(variables["params"], variables["frozen"], opt_state, jnp.int32(0))
+    step = jax.jit(make_train_step(model, args.criterion_config(), tx), donate_argnums=(0,))
+
+    key = jax.random.key(1)
+    state, loss, *_ = step(state, data, key)
+    np.asarray(loss)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, *_ = step(state, data, key)
+    np.asarray(loss)
+    elapsed = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "train_clips_per_sec_stage1_b32_448x800",
+                "value": round(B * iters / elapsed, 2),
+                "unit": "clips/sec/chip",
+                "step_ms": round(elapsed / iters * 1e3, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -101,26 +101,29 @@ def prepare_od_map_stuffs(
         iou_full[:, :, None, :], ordered_m.transpose(0, 1, 2)[..., None], axis=1
     )  # (B, K, C, N) — iou_full expanded over C then gathered at ordered_m
     iou = jnp.where(available[:, None, :, :], iou, 0.0)
-    iou = jnp.broadcast_to(iou[:, None], (B, T, K, C, N))  # evaluated per threshold
 
     # Greedy claim loop over ranked detections (od_map.py:264-277): detection m
     # claims its best remaining annotation at each threshold; claimed
-    # annotations are zeroed for all later (and concurrent) detections.
+    # annotations are excluded for all later detections. The reference zeroes
+    # the claimed column inside a (B, T, K, C, N) tensor; carrying a claim
+    # MASK of shape (B, T, C, N) instead is semantically identical (only row m
+    # is read at step m) and ~K·T times less memory traffic.
     def body(m, carry):
-        iou, is_pos = carry
-        row = jax.lax.dynamic_slice_in_dim(iou, m, 1, axis=2)[:, :, 0]  # (B,T,C,N)
+        claimed, is_pos = carry
+        row = jax.lax.dynamic_slice_in_dim(iou, m, 1, axis=1)[:, 0]  # (B, C, N)
+        row = jnp.where(claimed, 0.0, row[:, None])  # (B, T, C, N)
         best_score = row.max(axis=-1)  # (B, T, C)
         best_n = row.argmax(axis=-1)  # (B, T, C)
         pos_m = best_score >= thresholds[None, :, None]  # (B, T, C)
         is_pos = jax.lax.dynamic_update_slice_in_dim(
             is_pos, pos_m[:, :, None, :], m, axis=2
         )
-        claim = jax.nn.one_hot(best_n, N, dtype=bool) & pos_m[..., None]  # (B,T,C,N)
-        iou = jnp.where(claim[:, :, None, :, :], 0.0, iou)
-        return iou, is_pos
+        claimed = claimed | (jax.nn.one_hot(best_n, N, dtype=bool) & pos_m[..., None])
+        return claimed, is_pos
 
+    claimed = jnp.zeros((B, T, C, N), dtype=bool)
     is_positive = jnp.zeros((B, T, K, C), dtype=bool)
-    _, is_positive = jax.lax.fori_loop(0, K, body, (iou, is_positive))
+    _, is_positive = jax.lax.fori_loop(0, K, body, (claimed, is_positive))
 
     # Reshape to the accumulation layout (od_map.py:279-287).
     confs_out = jnp.broadcast_to(

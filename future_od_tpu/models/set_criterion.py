@@ -64,8 +64,10 @@ def _level_losses(
     cfg: CriterionConfig,
     log: bool,
 ) -> Dict[str, jnp.ndarray]:
-    logits = outputs["pred_logits"]  # (B, M, C)
-    boxes = outputs["pred_boxes"]  # (B, M, 4)
+    # Loss math always runs in f32 (the forward may be bf16 under mixed
+    # precision; focal log-terms and GIoU need the precision).
+    logits = outputs["pred_logits"].astype(jnp.float32)  # (B, M, C)
+    boxes = outputs["pred_boxes"].astype(jnp.float32)  # (B, M, 4)
     B, M, C = logits.shape
     matched = targets["active"] & (pred_idx < M)  # (B, N)
 

@@ -61,21 +61,45 @@ def _postproc_and_map(pred_logits, pred_boxes, data):
     return output, od_map_stuffs
 
 
+def _to_half(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+    )
+
+
 def make_train_step(
-    model, criterion_cfg: CriterionConfig, tx: optax.GradientTransformation
+    model, criterion_cfg: CriterionConfig, tx: optax.GradientTransformation,
+    mixed_precision: bool = False,
 ) -> Callable:
     """Returns train_step(state, data, rng) ->
-    (state, loss, stats, od_map_stuffs, output)."""
+    (state, loss, stats, od_map_stuffs, output).
+
+    mixed_precision: run the forward/backward in bfloat16 (params cast inside
+    the grad fn, so master params, loss math, gradients, and optimizer state
+    stay f32 — bf16 needs no loss scaling)."""
 
     def train_step(state: TrainState, data: Dict[str, jnp.ndarray], rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        grad_fn = jax.value_and_grad(
-            lambda p: _forward_and_loss(
-                model, criterion_cfg, p, state.frozen, data,
-                deterministic=False, dropout_rng=dropout_rng,
-            ),
-            has_aux=True,
-        )
+        if mixed_precision:
+            data = dict(data)
+            data["video"] = data["video"].astype(jnp.bfloat16)
+            frozen = _to_half(state.frozen, jnp.bfloat16)
+
+            def fwd(p):
+                return _forward_and_loss(
+                    model, criterion_cfg, _to_half(p, jnp.bfloat16), frozen, data,
+                    deterministic=False, dropout_rng=dropout_rng,
+                )
+
+        else:
+
+            def fwd(p):
+                return _forward_and_loss(
+                    model, criterion_cfg, p, state.frozen, data,
+                    deterministic=False, dropout_rng=dropout_rng,
+                )
+
+        grad_fn = jax.value_and_grad(fwd, has_aux=True)
         (loss, (stats, pred_logits, pred_boxes)), grads = grad_fn(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
