@@ -97,6 +97,7 @@ class Trainer:
         self._epoch = 0
         self._training_iterations = 0
         self._wandb = None
+        self._batch_shard = None  # set below when a mesh is given
 
         # Initialize params / optimizer / jitted steps.
         if variables is None:
@@ -117,22 +118,52 @@ class Trainer:
             opt_state=opt_state,
             step=jnp.int32(0),
         )
-        donate = (0,)
-        self._train_step = jax.jit(
-            make_train_step(model, self._criterion_cfg, self._tx), donate_argnums=donate
-        )
-        self._eval_step = jax.jit(make_eval_step(model, self._criterion_cfg))
+        train_fn = make_train_step(model, self._criterion_cfg, self._tx)
+        eval_fn = make_eval_step(model, self._criterion_cfg)
+        if mesh is not None:
+            # Data-parallel (+ optional tensor-parallel) execution: params
+            # follow parallel/mesh.py's sharding rules, batches shard on dim 0.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from future_od_tpu.parallel.mesh import batch_sharding, param_shardings
+
+            repl = NamedSharding(mesh, P())
+            self._state_shardings = TrainState(
+                params=param_shardings(self.state.params, mesh),
+                frozen=jax.tree.map(lambda _: repl, self.state.frozen),
+                opt_state=jax.tree.map(lambda _: repl, self.state.opt_state),
+                step=repl,
+            )
+            self._batch_shard = batch_sharding(mesh)
+            self.state = jax.device_put(self.state, self._state_shardings)
+            self._train_step = jax.jit(
+                train_fn,
+                in_shardings=(self._state_shardings, None, repl),
+                out_shardings=(self._state_shardings, repl, repl, repl, repl),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                eval_fn, in_shardings=(self._state_shardings, None)
+            )
+        else:
+            self._batch_shard = None
+            self._train_step = jax.jit(train_fn, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_fn)
 
     # ------------------------------------------------------------------
     def _example_batch(self):
         loader = self._train_loader or next(iter(self._val_loaders.values()))
         return self._device_batch(next(iter(loader)))
 
-    @staticmethod
-    def _device_batch(batch):
+    def _device_batch(self, batch):
         from future_od_tpu.data.loader import ARRAY_KEYS
 
-        return {k: v for k, v in batch.items() if k in ARRAY_KEYS}
+        arrays = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
+        if self._batch_shard is not None:
+            arrays = jax.device_put(
+                arrays, jax.tree.map(lambda _: self._batch_shard, arrays)
+            )
+        return arrays
 
     # ------------------------------------------------------------------
     def train(self, max_epochs: int):

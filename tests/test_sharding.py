@@ -106,3 +106,38 @@ class TestSharding:
         )
         _, loss, _, _, _ = sharded(state, data, jax.random.key(1))
         assert np.isfinite(float(loss))
+
+
+class TestTrainerWithMesh:
+    def test_trainer_runs_sharded_epoch(self, tmp_path):
+        from future_od_tpu.data.loader import Loader
+        from future_od_tpu.data.synthetic import CATEGORY_DICT, SyntheticClipDataset
+        from future_od_tpu.models.build import build_flagship
+        from future_od_tpu.train.trainer import Trainer
+        from future_od_tpu.utils.wandb import WandBConfig
+
+        args = SpatioTemporalDETRArgs(
+            num_classes=2, num_queries=8, hidden_dim=32, enc_layers=1, dec_layers=1,
+            dim_feedforward=64, enc_nheads=2, nheads=2, lr_backbone=1e-4,
+        )
+        model = build_flagship(args)
+        mesh = make_mesh(num_data=4, num_model=2)
+        train_ds = SyntheticClipDataset(num_samples=8, image_size=(64, 96), seed=1)
+        val_ds = SyntheticClipDataset(num_samples=4, image_size=(64, 96), seed=2)
+        trainer = Trainer(
+            model=model,
+            detr_args=args,
+            train_loader=Loader(train_ds, batch_size=4, shuffle=True, num_workers=2),
+            val_loaders={"val0": Loader(val_ds, batch_size=4, num_workers=2)},
+            checkpoint_path=str(tmp_path / "ckpt"),
+            visualization_path=str(tmp_path / "vis"),
+            save_name="mesh_test",
+            category_dict=CATEGORY_DICT,
+            checkpoint_epochs=False,
+            wandb_config=WandBConfig(enabled=False),
+            mesh=mesh,
+        )
+        trainer.train(max_epochs=1)
+        assert trainer._epoch == 1
+        m = trainer._stats["train labels loss"]
+        assert np.isfinite(m.history[-1])
