@@ -54,7 +54,12 @@ def main():
         weight_decay=args.weight_decay, max_norm=args.max_norm,
     )
     state = TrainState(variables["params"], variables["frozen"], opt_state, jnp.int32(0))
-    step = jax.jit(make_train_step(model, args.criterion_config(), tx), donate_argnums=(0,))
+    import os
+    mixed = os.environ.get("MIXED", "0") == "1"
+    step = jax.jit(
+        make_train_step(model, args.criterion_config(), tx, mixed_precision=mixed),
+        donate_argnums=(0,),
+    )
 
     key = jax.random.key(1)
     state, loss, *_ = step(state, data, key)
@@ -68,7 +73,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_clips_per_sec_stage1_b32_448x800",
+                "metric": "train_clips_per_sec_stage1_b32_448x800"
+                + ("_bf16" if mixed else ""),
                 "value": round(B * iters / elapsed, 2),
                 "unit": "clips/sec/chip",
                 "step_ms": round(elapsed / iters * 1e3, 1),

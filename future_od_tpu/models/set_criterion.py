@@ -128,18 +128,38 @@ def set_criterion(
     Returns a dict of per-loss scalars, aux levels suffixed `_{i}`.
     """
     num_boxes = jnp.maximum(targets["active"].sum().astype(jnp.float32), 1.0)
+    aux = list(outputs.get("aux_outputs", [])) if cfg.aux_loss else []
 
-    pred_idx = _match(outputs, targets, cfg)
+    if aux and cfg.matching_mode == "per level":
+        # Batch all levels into ONE vmapped solve: the auction's while_loop is
+        # the only sequential part of the criterion, so running (levels+1)·B
+        # problems in lockstep instead of levels+1 sequential solves divides
+        # its wall-clock by the level count.
+        levels = [outputs] + aux
+        A = len(levels)
+        B, _, N = targets["active"].shape[0], None, targets["labels"].shape[1]
+        costs = jnp.concatenate(
+            [
+                matching_cost(
+                    lvl["pred_logits"], lvl["pred_boxes"], targets,
+                    cost_class=cfg.set_cost_class, cost_bbox=cfg.set_cost_bbox,
+                    cost_giou=cfg.set_cost_giou, focal_alpha=cfg.focal_alpha,
+                )
+                for lvl in levels
+            ],
+            axis=0,
+        )  # (A·B, M, N)
+        tiled_active = jnp.tile(targets["active"], (A, 1))
+        all_idx = SOLVERS[cfg.matcher](costs, tiled_active).reshape(A, B, N)
+        pred_idx, aux_idx = all_idx[0], [all_idx[i + 1] for i in range(len(aux))]
+    else:
+        pred_idx = _match(outputs, targets, cfg)
+        aux_idx = [pred_idx] * len(aux)
+
     losses = _level_losses(outputs, targets, pred_idx, num_boxes, cfg, log=True)
-
-    if cfg.aux_loss and "aux_outputs" in outputs:
-        for i, aux in enumerate(outputs["aux_outputs"]):
-            if cfg.matching_mode == "per level":
-                aux_idx = _match(aux, targets, cfg)
-            else:
-                aux_idx = pred_idx
-            aux_losses = _level_losses(aux, targets, aux_idx, num_boxes, cfg, log=False)
-            losses.update({f"{k}_{i}": v for k, v in aux_losses.items()})
+    for i, lvl in enumerate(aux):
+        aux_losses = _level_losses(lvl, targets, aux_idx[i], num_boxes, cfg, log=False)
+        losses.update({f"{k}_{i}": v for k, v in aux_losses.items()})
     return losses
 
 

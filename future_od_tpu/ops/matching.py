@@ -76,9 +76,9 @@ def matching_cost(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "eps"))
 def auction_assignment(
-    cost: jnp.ndarray, active: jnp.ndarray, max_iters: int = 5000
+    cost: jnp.ndarray, active: jnp.ndarray, max_iters: int = 1000, eps: float = 1e-3
 ) -> jnp.ndarray:
     """Batched single-phase Jacobi auction on the (negated) cost.
 
@@ -101,13 +101,24 @@ def auction_assignment(
         max_iters: hard bound on bidding rounds (safety net for the
             near-square worst case; unmatched targets degrade gracefully —
             they are dropped from the loss for that step).
+        eps: bidding increment relative to the normalized (max-|cost|=1)
+            benefit. Controls the speed/optimality tradeoff of price wars
+            between near-tied queries: on real DETR cost matrices at init,
+            1e-3 converges in < 450 vectorized rounds with a total-cost gap
+            ≤ 0.05 (noise-level next to the L1/GIoU coefficient scale), while
+            the textbook 1/N-style ε costs 5-10x the rounds. Must also stay
+            representable in f32 next to prices of O(1).
     Returns:
         (B, N) int32 pred index per target slot; M for unmatched.
     """
-    return jax.vmap(lambda c, a: _auction_single(c, a, max_iters))(cost, active.astype(bool))
+    return jax.vmap(lambda c, a: _auction_single(c, a, max_iters, eps))(
+        cost, active.astype(bool)
+    )
 
 
-def _auction_single(cost: jnp.ndarray, active: jnp.ndarray, max_iters: int) -> jnp.ndarray:
+def _auction_single(
+    cost: jnp.ndarray, active: jnp.ndarray, max_iters: int, eps: float
+) -> jnp.ndarray:
     M, N = cost.shape
     neg_inf = jnp.float32(-1e30)
     benefit = -cost.T.astype(jnp.float32)  # (N, M): person j's benefit for object i
@@ -115,19 +126,17 @@ def _auction_single(cost: jnp.ndarray, active: jnp.ndarray, max_iters: int) -> j
     scale = jnp.maximum(jnp.max(jnp.abs(jnp.where(active[:, None], benefit, 0.0))), 1e-6)
     benefit = benefit / scale
     benefit = jnp.where(active[:, None], benefit, neg_inf)
-    eps = jnp.float32(1e-4 / max(N, 1))
+    eps = jnp.float32(eps)
 
     def round_body(state):
         price, owner, obj_owner, it = state
         unassigned = active & (owner < 0)  # (N,)
         values = benefit - price[None, :]  # (N, M)
         values = jnp.where(unassigned[:, None], values, neg_inf)
-        best_i = jnp.argmax(values, axis=1)  # (N,)
-        w1 = jnp.max(values, axis=1)  # (N,)
-        # Second best: mask out the best column per row.
-        masked = values.at[jnp.arange(N), best_i].set(neg_inf)
-        w2 = jnp.max(masked, axis=1)
-        w2 = jnp.where(w2 > neg_inf / 2, w2, w1 - 1.0)
+        top2, top2_idx = jax.lax.top_k(values, 2)  # (N, 2)
+        best_i = top2_idx[:, 0]
+        w1 = top2[:, 0]
+        w2 = jnp.where(top2[:, 1] > neg_inf / 2, top2[:, 1], w1 - 1.0)
         bid = price[best_i] + (w1 - w2) + eps  # (N,)
 
         # Per-object winner: scatter-max of bids.

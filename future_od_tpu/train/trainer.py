@@ -57,6 +57,7 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         variables: Optional[Dict[str, Any]] = None,
+        mixed_precision: bool = False,
     ):
         install_signal_handlers()
         self._model = model
@@ -118,7 +119,9 @@ class Trainer:
             opt_state=opt_state,
             step=jnp.int32(0),
         )
-        train_fn = make_train_step(model, self._criterion_cfg, self._tx)
+        train_fn = make_train_step(
+            model, self._criterion_cfg, self._tx, mixed_precision=mixed_precision
+        )
         eval_fn = make_eval_step(model, self._criterion_cfg)
         if mesh is not None:
             # Data-parallel (+ optional tensor-parallel) execution: params

@@ -42,6 +42,7 @@ def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loade
         visualization_epochs=set(int(i) for i in np.linspace(1, args.epochs, 10)),
         visualization_iterations=[0],
         checkpoint_epochs=not args.no_checkpoints,
+        mixed_precision=getattr(args, "bf16", False),
         wandb_config=WandBConfig(
             enabled=(not args.disable_wandb),
             name=args.experiment_idf + getattr(args, "wandb_suffix", ""),
@@ -90,3 +91,7 @@ def add_tpu_args(parser):
         help="set-matching solver (auction = on-device, hungarian = exact host callback)",
     )
     parser.add_argument("--num_workers", default=16, type=int)
+    parser.add_argument(
+        "--bf16", action="store_true", default=False,
+        help="bfloat16 forward/backward with f32 master params (mixed precision)",
+    )
