@@ -1,4 +1,11 @@
 """NuImages 500 ms eval (reference: runs/eval/nuim_spatiotemporal_imu_eval.py)."""
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
 from runs.eval._common import run_eval
 
 if __name__ == "__main__":

@@ -1,5 +1,12 @@
 """NuScenes 50 ms eval (reference: runs/eval/nusc_50ms_attendprev_decoder_eval.py).
 Uses the shared ~83 ms checkpoint with encoded temporal offsets."""
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
 from runs.eval._common import run_eval
 
 if __name__ == "__main__":

@@ -4,6 +4,10 @@
 step -> AP -> checkpoint before any temporal/IMU complexity.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from config import config
 from future_od_tpu.data import nu_images

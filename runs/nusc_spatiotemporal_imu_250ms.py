@@ -2,6 +2,10 @@
 (reference: runs/nusc_spatiotemporal_imu_250ms.py). Offsets [-0.5, -0.25, 0] s.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from config import config
 from future_od_tpu.data import nu_scenes

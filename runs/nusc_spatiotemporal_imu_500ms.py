@@ -5,6 +5,10 @@ Two-stage resolution curriculum: stage 1 @ (448, 800) batch 32 for 60% of the
 epochs, stage 2 @ (896, 1600) batch 16 to 100%. Offsets [-1.0, -0.5, 0] s.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from config import config
 from future_od_tpu.data import nu_scenes

@@ -3,6 +3,10 @@
 ["prev", "prev", 0] with temporal offsets encoded into the model.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from config import config
 from future_od_tpu.data import nu_scenes
