@@ -57,10 +57,16 @@ def matching_cost(
     prob = jax.nn.sigmoid(pred_logits)  # (B, M, C)
     pos_cost = focal_alpha * (1.0 - prob) ** focal_gamma * (-jnp.log(prob + 1e-8))
     neg_cost = (1.0 - focal_alpha) * prob**focal_gamma * (-jnp.log(1.0 - prob + 1e-8))
-    # Gather at target labels: (B, M, N)
+    # Gather at target labels: (B, M, N). Labels are clamped into [0, C): the
+    # active contract guarantees valid labels, and inactive slots (whatever
+    # they hold) are excluded by the mask — but an unclamped out-of-range
+    # gather would FILL with NaN and poison the whole cost row.
+    labels = jnp.clip(
+        targets["labels"].astype(jnp.int32), 0, pred_logits.shape[-1] - 1
+    )
     cls_cost = jnp.take_along_axis(
         (pos_cost - neg_cost)[:, :, None, :],
-        targets["labels"][:, None, :, None].astype(jnp.int32),
+        labels[:, None, :, None],
         axis=-1,
     )[..., 0]
 

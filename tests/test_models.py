@@ -30,13 +30,14 @@ TINY = dict(
 )
 
 
-def make_data(rng, B=2, L=3, H=64, W=96, N=12, with_imu=True, with_offsets=False):
+def make_data(rng, B=2, L=3, H=64, W=96, N=12, with_imu=True, with_offsets=False,
+              num_classes=8):
     boxes_wh = np.abs(rng.normal(size=(B, N, 4))).astype(np.float32) * 20
     boxes = np.concatenate([boxes_wh[..., :2], boxes_wh[..., :2] + boxes_wh[..., 2:]], -1)
     data = {
         "video": jnp.asarray(rng.normal(size=(B, L, H, W, 3)).astype(np.float32)),
         "boxes": jnp.asarray(boxes),
-        "classes": jnp.asarray(rng.integers(0, 8, size=(B, N))),
+        "classes": jnp.asarray(rng.integers(0, num_classes, size=(B, N))),
         "active": jnp.asarray((rng.uniform(size=(B, N)) < 0.5).astype(np.int64)),
         "annotated_frame_idx": jnp.asarray([L - 1] * B),
     }

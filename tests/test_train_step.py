@@ -105,3 +105,29 @@ class TestMixedPrecision:
         new_state, *_ = step(state, data, jax.random.key(1))
         dtypes = {x.dtype for x in jax.tree.leaves(new_state.params)}
         assert dtypes == {jnp.dtype(jnp.float32)}
+
+
+class TestMatcherParity:
+    def test_auction_vs_hungarian_loss(self):
+        # Same params/data: the on-device auction's matching must give a loss
+        # within a fraction of a percent of the exact Hungarian's (near-ties
+        # may match differently; their loss contribution is tiny by
+        # construction).
+        import tests.test_models as tm
+        from future_od_tpu.models.st_detr import compute_loss, normalize_outputs
+
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = build_flagship(args)
+        data = tm.make_data(np.random.default_rng(5), B=2, L=2, H=64, W=64, N=16, num_classes=4)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        annotated, _, _ = normalize_outputs(out, data)
+        losses = {}
+        for matcher in ["auction", "hungarian"]:
+            cfg = SpatioTemporalDETRArgs(**{**TINY, "matcher": matcher}).criterion_config()
+            loss, _ = compute_loss(annotated, data, cfg)
+            losses[matcher] = float(loss)
+        assert losses["auction"] >= losses["hungarian"] - 1e-4  # exact is optimal
+        np.testing.assert_allclose(
+            losses["auction"], losses["hungarian"], rtol=5e-3
+        )
