@@ -71,14 +71,17 @@ def main():
 
     # Warm up (compile) then time. NOTE: synchronize via host materialization —
     # jax.block_until_ready returns early on this TPU backend (axon), which
-    # would inflate throughput by ~1000x.
+    # would inflate throughput by ~1000x. The sync happens ONCE after the loop:
+    # device executions are stream-ordered, so materializing the last output
+    # implies all prior iterations completed — this measures pipelined
+    # throughput (the serving regime) rather than single-call latency.
     out = infer(variables, data)
     np.asarray(out["boxes"])
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = infer(variables, data)
-        np.asarray(out["boxes"])
+    np.asarray(out["boxes"])
     elapsed = time.perf_counter() - t0
 
     clips_per_sec = BATCH * iters / elapsed
