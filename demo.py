@@ -28,7 +28,7 @@ from future_od_tpu.models.st_detr import (
     post_process,
 )
 from future_od_tpu.utils.checkpoint import load_checkpoint
-from future_od_tpu.utils.visualization import COLOURS, revert_imagenet_normalization, visualize
+from future_od_tpu.utils.visualization import visualize
 
 
 def main():

@@ -12,7 +12,6 @@ Re-design of `/root/reference/future_od/models/paper.py` (TPU-first):
 from __future__ import annotations
 
 import math
-from dataclasses import field
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

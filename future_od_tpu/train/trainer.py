@@ -58,6 +58,7 @@ class Trainer:
         seed: int = 0,
         variables: Optional[Dict[str, Any]] = None,
         mixed_precision: bool = False,
+        checkpoint_every_iters: int = 0,
     ):
         install_signal_handlers()
         self._model = model
@@ -84,6 +85,7 @@ class Trainer:
         self._visualization_epochs = set(visualization_epochs)
         self._visualization_iterations = set(visualization_iterations)
         self._save_checkpoints = checkpoint_epochs
+        self._checkpoint_every_iters = checkpoint_every_iters
         self._wandb_config = wandb_config or WandBConfig()
         self._mesh = mesh
         self._rng = jax.random.key(seed)
@@ -266,6 +268,16 @@ class Trainer:
 
             if visualize_now:
                 self.visualize_batch(batch, _to_host(output), mode)
+            if (
+                training
+                and self._checkpoint_every_iters
+                and self._training_iterations % self._checkpoint_every_iters == 0
+                and self._save_checkpoints
+            ):
+                # Mid-epoch checkpoint (TPU-native extra beyond the reference's
+                # per-epoch saves): survives preemption of long epochs. Resume
+                # restarts the epoch, which matches the reference's semantics.
+                self.save_checkpoint()
             if (i + 1) % self._print_interval == 0:
                 loss_str = "  ".join(
                     f"{self._stats[f'{mode} {k} loss'].avg:.5f} ({k})"

@@ -43,6 +43,7 @@ def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loade
         visualization_iterations=[0],
         checkpoint_epochs=not args.no_checkpoints,
         mixed_precision=getattr(args, "bf16", False),
+        checkpoint_every_iters=getattr(args, "checkpoint_every_iters", 0),
         wandb_config=WandBConfig(
             enabled=(not args.disable_wandb),
             name=args.experiment_idf + getattr(args, "wandb_suffix", ""),
@@ -91,6 +92,10 @@ def add_tpu_args(parser):
         help="set-matching solver (auction = on-device, hungarian = exact host callback)",
     )
     parser.add_argument("--num_workers", default=16, type=int)
+    parser.add_argument(
+        "--checkpoint_every_iters", default=0, type=int,
+        help="also checkpoint mid-epoch every N train iterations (preemption safety)",
+    )
     parser.add_argument(
         "--bf16", action="store_true", default=False,
         help="bfloat16 forward/backward with f32 master params (mixed precision)",

@@ -8,7 +8,7 @@ mounted.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Tuple, Union
+from typing import Tuple
 
 import future_od_tpu.data.transforms as T
 from future_od_tpu.data import nu_images, nu_scenes
