@@ -38,18 +38,26 @@ def get_lr_func(epochs: int) -> Callable[[int], float]:
     return f
 
 
-def param_labels(params: Any) -> Any:
+def param_labels(params: Any, freeze_stem: bool = True) -> Any:
     """Label each param main / backbone / frozen.
 
     torch equivalents (paper.py:102-109, _helper.py:84-107): backbone body
     params not in layer2/3/4 are frozen; any param under "backbone" (body or
     input_proj) uses the backbone LR group; the rest is main.
+
+    freeze_stem=False trains stem+layer1 too — required when training from
+    scratch (the reference's freeze assumes pretrained weights; freezing a
+    RANDOM stem cripples the feature extractor).
     """
 
     def label(path, leaf) -> str:
         p = jax.tree_util.keystr(path)
         if "backbone" in p:
-            if "body" in p and not any(f"layer{i}" in p for i in (2, 3, 4)):
+            if (
+                freeze_stem
+                and "body" in p
+                and not any(f"layer{i}" in p for i in (2, 3, 4))
+            ):
                 return "frozen"
             return "backbone"
         return "main"
@@ -77,10 +85,11 @@ def build_optimizer(
     lr_backbone: float,
     weight_decay: float = 1e-4,
     max_norm: float = 0.1,
+    freeze_stem: bool = True,
 ) -> Tuple[optax.GradientTransformation, Any]:
     """Returns (tx, initial opt_state). Set per-epoch LRs on the opt_state with
     `set_learning_rates` before each epoch."""
-    labels = param_labels(params)
+    labels = param_labels(params, freeze_stem=freeze_stem)
 
     @functools.partial(optax.inject_hyperparams, static_args=())
     def make(lr_main: float, lr_bb: float):

@@ -59,6 +59,7 @@ class Trainer:
         variables: Optional[Dict[str, Any]] = None,
         mixed_precision: bool = False,
         checkpoint_every_iters: int = 0,
+        freeze_backbone_stem: bool = True,
     ):
         install_signal_handlers()
         self._model = model
@@ -114,6 +115,7 @@ class Trainer:
             lr_backbone=detr_args.lr_backbone,
             weight_decay=detr_args.weight_decay,
             max_norm=detr_args.max_norm,
+            freeze_stem=freeze_backbone_stem,
         )
         self.state = TrainState(
             params=variables["params"],

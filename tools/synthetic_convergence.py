@@ -59,6 +59,7 @@ def main():
         print_interval=1000,
         checkpoint_epochs=True,
         wandb_config=WandBConfig(enabled=False),
+        freeze_backbone_stem=False,  # training from scratch
     )
     trainer.train(args.epochs)
     ap = trainer._last_ap
