@@ -356,7 +356,32 @@ class Trainer:
 
     def load_checkpoint(self, checkpoint: Optional[str] = None, load_only_net=False):
         """checkpoint: None -> <ckpt_path>/<save_name>; str -> explicit path
-        split into (dir, name)."""
+        split into (dir, name). A path ending in .pth/.pth.tar is treated as a
+        reference torch checkpoint and converted
+        (utils/checkpoint_convert.py) — net-only by nature."""
+        if checkpoint is not None and checkpoint.endswith((".pth", ".pth.tar")):
+            import torch
+
+            from future_od_tpu.utils.checkpoint_convert import (
+                convert_reference_checkpoint,
+            )
+
+            print(f"Converting reference checkpoint: {checkpoint}")
+            blob = torch.load(
+                os.path.expanduser(checkpoint), map_location="cpu", weights_only=False
+            )
+            state_dict = blob["net"] if isinstance(blob, dict) and "net" in blob else blob
+            converted = convert_reference_checkpoint(
+                state_dict,
+                {"params": self.state.params, "frozen": self.state.frozen},
+                dim=self._args.hidden_dim,
+            )
+            self.state = self.state._replace(
+                params=jax.tree.map(jnp.asarray, converted["params"]),
+                frozen=jax.tree.map(jnp.asarray, converted["frozen"]),
+            )
+            print(f"Loaded (converted): {checkpoint}")
+            return
         if checkpoint is None:
             ckpt_dir, name = self._checkpoint_path, self._save_name
         else:

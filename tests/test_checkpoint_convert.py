@@ -152,3 +152,39 @@ class TestReferenceCheckpointConvert:
             data, deterministic=True,
         )
         assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+
+
+class TestTrainerPthLoading:
+    def test_trainer_loads_reference_pth_tar(self, tmp_path, rng):
+        import torch
+
+        from future_od_tpu.data.loader import Loader
+        from future_od_tpu.data.synthetic import CATEGORY_DICT, SyntheticClipDataset
+        from future_od_tpu.train.trainer import Trainer
+        from future_od_tpu.utils.wandb import WandBConfig
+
+        sd = fabricate_reference_state_dict(np.random.default_rng(1))
+        blob = {"net": {k: torch.from_numpy(v) for k, v in sd.items()}, "epoch": 7}
+        path = tmp_path / "ref_ckpt.pth.tar"
+        torch.save(blob, path)
+
+        args = SpatioTemporalDETRArgs(**{**TINY, "num_classes": 8})
+        model = build_flagship(args)
+        ds = SyntheticClipDataset(num_samples=4, image_size=(64, 96), num_classes=2)
+        trainer = Trainer(
+            model=model,
+            detr_args=args,
+            train_loader=Loader(ds, batch_size=2, num_workers=1),
+            val_loaders={"val0": Loader(ds, batch_size=2, num_workers=1)},
+            checkpoint_path=str(tmp_path),
+            visualization_path=str(tmp_path),
+            save_name="x",
+            category_dict=CATEGORY_DICT,
+            checkpoint_epochs=False,
+            wandb_config=WandBConfig(enabled=False),
+        )
+        trainer.load_checkpoint(str(path), load_only_net=True)
+        got = np.asarray(
+            trainer.state.params["core"]["detector"]["class_embed"]["kernel"]
+        )
+        np.testing.assert_allclose(got, sd["_model.detector.class_embed.weight"].T)
