@@ -317,3 +317,43 @@ class TestJointEncoderBuilds:
         variables = model.init({"params": jax.random.key(0)}, data)
         out = model.apply(variables, data, deterministic=True)
         assert out["pred_logits"].shape == (2, 16, 8)
+
+
+class TestDetectorVariants:
+    def _detector_core(self, **kw):
+        from future_od_tpu.models.build import _detector, _separate_encoder
+        from future_od_tpu.models.cores import FuturePredCore
+        from future_od_tpu.models.st_detr import SpatioTemporalDETR
+
+        args = SpatioTemporalDETRArgs(**TINY)
+        core = FuturePredCore(
+            separate_encoder=_separate_encoder(args, use_imu=True),
+            detector=_detector(args, **kw),
+            joint_encoder=None,
+            no_temporal_pos=True,
+        )
+        return SpatioTemporalDETR(core=core, args=args)
+
+    def test_attend_all_at_once_mode(self):
+        # paper.py:334-339: flatten l*h*w tokens, one decoder pass
+        model = self._detector_core(
+            num_images=1, image_memory_mode="attend all at once"
+        )
+        data = make_data(np.random.default_rng(6), L=3)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        assert out["pred_logits"].shape == (2, 16, 8)
+        # only one image attention module in this mode
+        dec = variables["params"]["core"]["detector"]["decoder"]
+        assert "image_attend0" in dec["layer0"] and "image_attend1" not in dec["layer0"]
+
+    def test_slotstates_recurrence(self):
+        # transformer.py:210-215/288-298 + paper.py:399-400: final queries of
+        # frame l feed frame l+1 as slotstates keys
+        model = self._detector_core(num_images=2, use_slotstates=True)
+        data = make_data(np.random.default_rng(7), L=3)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        assert out["pred_logits"].shape == (2, 16, 8)
+        dec = variables["params"]["core"]["detector"]["decoder"]
+        assert "slotstates_attend" in dec["layer0"]
