@@ -28,6 +28,17 @@ def category_dict_for(train_loader):
 
 
 def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loaders):
+    import jax
+
+    if detr_args.matcher == "hungarian" and jax.default_backend() not in ("cpu",):
+        # jax.pure_callback is unsupported on this TPU backend (axon); the
+        # exact matcher would crash mid-epoch. Fail fast with guidance.
+        raise SystemExit(
+            "--matcher hungarian requires host callbacks, which this TPU "
+            "backend does not support; use the on-device default "
+            "(--matcher auction) or run on the CPU platform."
+        )
+
     trainer = Trainer(
         model=model,
         detr_args=detr_args,

@@ -357,3 +357,30 @@ class TestDetectorVariants:
         assert out["pred_logits"].shape == (2, 16, 8)
         dec = variables["params"]["core"]["detector"]["decoder"]
         assert "slotstates_attend" in dec["layer0"]
+
+
+class TestGoldenRegression:
+    def test_flagship_outputs_locked(self):
+        # Golden lock on the flagship forward at fixed seeds: any refactor that
+        # changes the math (init, layer order, attention semantics) trips this.
+        # Values captured on the CPU platform, jax 0.9 / flax 0.12.
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = build_flagship(args)
+        data = make_data(np.random.default_rng(42), B=1, L=3, H=64, W=96, N=8)
+        variables = model.init({"params": jax.random.key(42)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        expected_boxes = np.array([
+            [0.615757, 0.732699, 0.5, 0.5],
+            [0.60458, 0.69739, 0.5, 0.5],
+            [0.637192, 0.481446, 0.5, 0.5],
+        ])
+        expected_logits = np.array([
+            [-5.175539, -4.18401, -4.098797, -6.79508],
+            [-5.182894, -4.188753, -4.098734, -6.791206],
+        ])
+        np.testing.assert_allclose(
+            np.asarray(out["pred_boxes"][0, :3]), expected_boxes, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred_logits"][0, :2, :4]), expected_logits, atol=2e-3
+        )
