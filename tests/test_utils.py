@@ -1,0 +1,100 @@
+"""Utility tests: visualization, checkpoint atomicity, stats, profiling,
+grain loader."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from future_od_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from future_od_tpu.utils.stats import AverageMeter
+from future_od_tpu.utils.visualization import COLOURS, draw_boxes, visualize
+
+
+class TestVisualization:
+    def test_colour_cube(self):
+        assert COLOURS.shape == (125, 3)
+        assert COLOURS.min() == 0.0 and COLOURS.max() == 1.0
+
+    def test_draw_boxes_outline_only(self):
+        img = np.zeros((40, 60, 3), np.float32)
+        out = draw_boxes(img, np.array([[10, 10, 30, 30]]), np.array([[1.0, 0, 0]]))
+        # the reference paints the thickness band just OUTSIDE each edge
+        assert out[8, 20, 0] > 0  # above the top edge
+        assert out[20, 8, 0] > 0  # left of the left edge
+        assert out[20, 20, 0] == 0  # interior untouched
+
+    def test_visualize_writes_png(self, tmp_path, rng):
+        img = rng.normal(size=(32, 48, 3)).astype(np.float32)
+        path = str(tmp_path / "vis.png")
+        visualize(img, np.array([0]), np.array([[5, 5, 20, 20]]), path, 9)
+        assert os.path.exists(path) and os.path.getsize(path) > 0
+
+    def test_visualize_float_scores_thresholded(self, tmp_path, rng):
+        img = rng.normal(size=(32, 48, 3)).astype(np.float32)
+        scores = np.array([[0.9, 0.1], [0.2, 0.3]], np.float32)  # second below thr
+        path = str(tmp_path / "vis2.png")
+        visualize(img, scores, np.array([[5, 5, 20, 20], [1, 1, 9, 9]]), path, 2)
+        assert os.path.exists(path)
+
+
+class TestCheckpointUtils:
+    def test_atomic_overwrite_and_meta(self, tmp_path):
+        tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+        save_checkpoint(str(tmp_path), "ck", tree, {"epoch": 3})
+        tree2 = {"a": jnp.arange(4.0) * 2, "b": {"c": jnp.zeros((2, 2))}}
+        save_checkpoint(str(tmp_path), "ck", tree2, {"epoch": 4})  # overwrite
+        arrays, meta = load_checkpoint(str(tmp_path), "ck", target=tree)
+        assert meta["epoch"] == 4
+        np.testing.assert_allclose(arrays["a"], np.arange(4.0) * 2)
+        assert not os.path.exists(str(tmp_path / "ck.tmp"))
+
+    def test_missing_returns_none(self, tmp_path):
+        assert load_checkpoint(str(tmp_path), "nope") is None
+
+    def test_stale_tmp_cleaned(self, tmp_path):
+        os.makedirs(tmp_path / "ck.tmp")  # crashed previous save
+        tree = {"a": jnp.ones(2)}
+        save_checkpoint(str(tmp_path), "ck", tree, {})
+        assert load_checkpoint(str(tmp_path), "ck", target=tree) is not None
+
+
+class TestStats:
+    def test_average_meter_epochs(self):
+        m = AverageMeter()
+        m.update(1.0)
+        m.update(3.0)
+        assert m.avg == 2.0
+        m.new_epoch()
+        assert m.history == [2.0] and m.count == 0
+        d = m.state_dict()
+        m2 = AverageMeter()
+        m2.load_state_dict(d)
+        assert m2.history == [2.0]
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from future_od_tpu.utils.profiling import StepTimer, sync
+
+        timer = StepTimer()
+        out = timer.timed(lambda: jnp.ones(4) * 2)
+        np.testing.assert_allclose(out, 2.0)
+        s = timer.summary()
+        assert s["steps"] == 1 and s["mean_s"] >= 0
+        sync({"x": jnp.ones(2)})  # no crash
+
+
+class TestGrainLoader:
+    def test_contract(self):
+        pytest.importorskip("grain")
+        from future_od_tpu.data.grain_loader import GrainLoader
+        from future_od_tpu.data.synthetic import SyntheticClipDataset
+
+        ds = SyntheticClipDataset(num_samples=8)
+        loader = GrainLoader(ds, batch_size=4, shuffle=True, num_workers=0,
+                             device_put=False)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["video"].shape[0] == 4
