@@ -185,3 +185,31 @@ class TestTargets:
         tgt = to_detr_targets(100, 200, jnp.array([[1]]), boxes, jnp.array([[2]]))
         np.testing.assert_allclose(tgt["boxes"][0, 0], [0.25, 0.25, 0.5, 0.5], atol=1e-6)
         assert bool(tgt["active"][0, 0])
+
+
+class TestTemporalEncodingGolden:
+    def test_500ms_offsets_normalization(self):
+        # 500ms config after dropping the future frame: offsets [-1.0, -0.5];
+        # reference normalizes by the LAST offset (+eps) then scales by 2π
+        # (paper.py:66-73): t = offset/last * 2π -> [4π, 2π].
+        from future_od_tpu.ops.posenc import temporal_encoding
+
+        offs = jnp.array([[-1.0, -0.5]])
+        enc = np.asarray(temporal_encoding(2, 8, temporal_offsets=offs))
+        assert enc.shape == (1, 2, 8)
+        # channel 0: sin(t / T^0) with t = 4π resp. 2π -> both ~0
+        np.testing.assert_allclose(enc[0, :, 0], [np.sin(4 * np.pi), np.sin(2 * np.pi)], atol=1e-4)
+        # channel 1: cos(t) -> both ~1
+        np.testing.assert_allclose(enc[0, :, 1], [1.0, 1.0], atol=1e-4)
+        # a higher-frequency pair distinguishes the frames
+        t = np.array([4 * np.pi, 2 * np.pi])
+        dim_t2 = 10000.0 ** (2.0 * 1 / 8)
+        np.testing.assert_allclose(enc[0, :, 2], np.sin(t / dim_t2), atol=1e-4)
+
+    def test_frame_index_fallback(self):
+        from future_od_tpu.ops.posenc import temporal_encoding
+
+        enc = np.asarray(temporal_encoding(3, 4))
+        # t = (i+1)/3 * 2π
+        t = (np.arange(1, 4) / (3 + 1e-6)) * 2 * np.pi
+        np.testing.assert_allclose(enc[:, 0], np.sin(t), atol=1e-5)
