@@ -61,6 +61,7 @@ def main():
         wandb_config=WandBConfig(enabled=False),
         freeze_backbone_stem=False,  # training from scratch
     )
+    trainer.load_checkpoint()  # resume if a previous run left a checkpoint
     trainer.train(args.epochs)
     ap = trainer._last_ap
     print("FINAL val AP50 per class:", " ".join(f"{v:.3f}" for v in ap["all"][0, :, 0]))
