@@ -187,3 +187,25 @@ class TestCanBusJoin:
         assert sample["active"].sum() == 1
         # translation relative to the first frame
         np.testing.assert_allclose(sample["translation"][0], [0, 0, 0])
+
+
+class TestNightFilter:
+    def test_daytime_scene_skipped(self, monkeypatch, tmp_path):
+        # logfile hour 12 -> daytime -> sample skipped under --night
+        import json, os
+        records = install_fake_devkit(
+            monkeypatch,
+            [2_000_000, 2_500_000, 3_000_000, 3_500_000, 4_000_000],
+            [2_000_000],
+        )
+        records["sd_key"] = records["sd4"]
+        os.makedirs(tmp_path / "v1.0-mini", exist_ok=True)
+        with open(tmp_path / "v1.0-mini" / "image_annotations.json", "w") as f:
+            json.dump([], f)
+        from future_od_tpu.data import nu_scenes as ns
+
+        ds = ns.NuScenesDataset(
+            root_path=str(tmp_path), split="mini_train", night=True,
+            front_camera_only=True, frame_offsets=[-0.5, 0],
+        )
+        assert len(ds) == 0
