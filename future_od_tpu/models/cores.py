@@ -428,6 +428,16 @@ class TrackerBaselineCore(nn.Module):
 
     @nn.compact
     def __call__(self, images, imu=None, temporal_offsets=None, deterministic: bool = True):
+        if images.shape[1] > 1:
+            # The future frame's detections come from the host-side tracker,
+            # so its features are never consumed — skip encoding it (the
+            # reference encodes all L frames and discards the last,
+            # paper.py:681-699).
+            images = images[:, :-1]
+            if imu is not None:
+                imu = imu[:, :-1]
+            if temporal_offsets is not None:
+                temporal_offsets = temporal_offsets[:, :-1]
         features, egodeep = self.separate_encoder(images, imu, deterministic)
         B, L, h, w, D = features.shape
         pos_enc = spatio_temporal_encoding(
@@ -435,9 +445,9 @@ class TrackerBaselineCore(nn.Module):
         )
         if L == 1:
             return self.detector(features, pos_enc, egodeep, deterministic)
-        # Per-frame independent detections for the tracker (frames 0..L-2).
+        # Per-frame independent detections for the tracker (past frames).
         preds = []
-        for l in range(L - 1):
+        for l in range(L):
             ego = egodeep[:, l : l + 1] if egodeep is not None else None
             pos_l = pos_enc[l : l + 1] if pos_enc.ndim == 4 else pos_enc[:, l : l + 1]
             preds.append(

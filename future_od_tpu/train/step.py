@@ -124,6 +124,49 @@ def make_eval_step(model, criterion_cfg: CriterionConfig) -> Callable:
     return eval_step
 
 
+def make_tracker_eval_step(model, criterion_cfg: CriterionConfig, tracker) -> Callable:
+    """Eval step for `TrackerBaselineCore` at L>=2 (paper.py:689-703).
+
+    The non-learned tracker's LAP assignment is host-bound (the reference also
+    solves it on host via scipy, paper.py:549), so the step is split into two
+    jitted halves around it: detect (model apply -> per-frame predictions) and
+    finish (loss + post-proc + mAP intermediaries on the extrapolated future
+    prediction). Signature matches make_eval_step's product.
+    """
+    import numpy as np
+
+    @jax.jit
+    def detect(state: TrainState, data: Dict[str, jnp.ndarray]):
+        out = model.apply(
+            {"params": state.params, "frozen": state.frozen}, data,
+            deterministic=True,
+        )
+        preds = out["per_frame_preds"]
+        return [
+            {"pred_logits": p["pred_logits"], "pred_boxes": p["pred_boxes"]}
+            for p in preds
+        ]
+
+    @jax.jit
+    def finish(pred, data):
+        annotated, pred_logits, pred_boxes = normalize_outputs(pred, data)
+        loss, stats = compute_loss(annotated, data, criterion_cfg)
+        output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
+        return loss, stats, od_map_stuffs, output
+
+    def eval_step(state: TrainState, data: Dict[str, jnp.ndarray]):
+        preds = detect(state, data)
+        p0, p1 = jax.tree.map(np.asarray, (preds[0], preds[1]))
+        offsets = data.get("temporal_offsets")
+        future = tracker(
+            p0, p1, None if offsets is None else np.asarray(offsets)
+        )
+        future = {k: jnp.asarray(v, jnp.float32) for k, v in future.items()}
+        return finish(future, data)
+
+    return eval_step
+
+
 def make_inference_fn(model) -> Callable:
     """Returns infer(variables, data) -> post-processed output dict (the
     deployment/serving path; no targets needed)."""

@@ -60,6 +60,7 @@ class Trainer:
         mixed_precision: bool = False,
         checkpoint_every_iters: int = 0,
         freeze_backbone_stem: bool = True,
+        tracker=None,
     ):
         install_signal_handlers()
         self._model = model
@@ -91,8 +92,11 @@ class Trainer:
         self._mesh = mesh
         self._rng = jax.random.key(seed)
 
-        # Stats meters per (mode, stat key) (trainer.py:71-77).
-        self._stat_idfs = ("labels", "box_l1", "box_giou", "cardinality", "class_error")
+        # Stats meters per (mode, stat key) (trainer.py:71-77) + matcher
+        # telemetry (auction rounds / unmatched actives).
+        from future_od_tpu.models.st_detr import STAT_IDFS
+
+        self._stat_idfs = STAT_IDFS
         self._stats: Dict[str, AverageMeter] = {}
         for mode in ["train"] + list(self._val_loaders.keys()):
             for key in self._stat_idfs:
@@ -156,6 +160,14 @@ class Trainer:
             self._batch_shard = None
             self._train_step = jax.jit(train_fn, donate_argnums=(0,))
             self._eval_step = jax.jit(eval_fn)
+        if tracker is not None:
+            # Non-learned tracker baseline (paper.py:689-703): eval runs the
+            # host-side tracker between two jitted halves.
+            from future_od_tpu.train.step import make_tracker_eval_step
+
+            self._eval_step = make_tracker_eval_step(
+                model, self._criterion_cfg, tracker
+            )
 
     # ------------------------------------------------------------------
     def _example_batch(self):

@@ -27,7 +27,8 @@ def category_dict_for(train_loader):
     return nu_scenes.CATEGORY_DICT
 
 
-def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loaders):
+def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loaders,
+                tracker=None):
     import jax
 
     if detr_args.matcher == "hungarian" and jax.default_backend() not in ("cpu",):
@@ -55,6 +56,7 @@ def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loade
         checkpoint_epochs=not args.no_checkpoints,
         mixed_precision=getattr(args, "bf16", False),
         checkpoint_every_iters=getattr(args, "checkpoint_every_iters", 0),
+        tracker=tracker,
         wandb_config=WandBConfig(
             enabled=(not args.disable_wandb),
             name=args.experiment_idf + getattr(args, "wandb_suffix", ""),

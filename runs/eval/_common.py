@@ -34,6 +34,8 @@ def run_eval(
     encode_offset: bool = False,
     filter_offsets=None,
     img_size=(896, 1600),
+    model_builder=None,
+    tracker=None,
 ):
     print(f"Started script: {os.path.basename(script_file)}")
     args = build_eval_parser().parse_args()
@@ -59,13 +61,14 @@ def run_eval(
         encode_offset=encode_offset,
         matcher=args.matcher,
     )
-    model = build_model(args, detr_args)
+    model = (model_builder or build_model)(args, detr_args)
     print("built model")
     print("starting dataset loading...")
     train_loader, val_loaders = loaders()
     print("Running eval")
     trainer = get_trainer(
-        args, config, detr_args, None, model, train_loader, val_loaders
+        args, config, detr_args, None, model, train_loader, val_loaders,
+        tracker=tracker,
     )
     trainer.eval()
     return trainer

@@ -91,6 +91,68 @@ class TestEndToEnd:
         assert trainer2._epoch == 0  # only net loaded
         trainer2.eval()  # must run cleanly from loaded weights
 
+    def test_tracker_baseline_eval_e2e(self, tmp_path):
+        # The non-learned tracker baseline (paper.py:689-703): per-frame
+        # detections on the two past frames are tracked + extrapolated on
+        # host, and the result flows through loss/post-proc/AP like any
+        # other prediction.
+        from future_od_tpu.models.build import build_tracker_baseline
+        from future_od_tpu.models.tracker import TrackerFuturePredictor
+
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = build_tracker_baseline(args)
+        val_ds = SyntheticClipDataset(
+            num_samples=4, image_size=(64, 96), max_objects=3, seed=2
+        )
+        val_loader = Loader(
+            val_ds, batch_size=2, shuffle=False, seed=VAL_SEED, num_workers=2
+        )
+        trainer = Trainer(
+            model=model,
+            detr_args=args,
+            train_loader=None,
+            val_loaders={"val0": val_loader},
+            checkpoint_path=str(tmp_path / "ckpt"),
+            visualization_path=str(tmp_path / "vis"),
+            save_name="tracker_e2e",
+            category_dict=CATEGORY_DICT,
+            checkpoint_epochs=False,
+            wandb_config=WandBConfig(enabled=False),
+            tracker=TrackerFuturePredictor(),
+        )
+        trainer.eval()
+        assert hasattr(trainer, "_last_ap")
+        ap50 = trainer._last_ap["all"][0, :, 0]
+        assert ap50.shape == (len(CATEGORY_DICT),)
+        assert np.all(np.isfinite(ap50) | np.isnan(ap50))
+        m = trainer._stats["val0 box_l1 loss"]
+        assert np.isfinite(m.avg)
+
+    def test_tracker_baseline_checkpoint_compat_with_single_frame(self, tmp_path):
+        # A single-frame-trained checkpoint loads directly into the tracker
+        # baseline (identical param tree) — the reference trains the tracker
+        # baseline's detector at L=1 the same way.
+        import jax
+
+        from future_od_tpu.models.build import build_single_frame, build_tracker_baseline
+
+        args = SpatioTemporalDETRArgs(**TINY)
+        sf = build_single_frame(args)
+        tb = build_tracker_baseline(args)
+        ds = SyntheticClipDataset(num_samples=2, image_size=(64, 96), seed=3)
+        batch = Loader(ds, batch_size=2, num_workers=0).__iter__().__next__()
+        from future_od_tpu.data.loader import ARRAY_KEYS
+
+        data = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
+        single = dict(data)
+        single["video"] = data["video"][:, -1:]
+        for k in ("translation", "acceleration", "rotation", "rotation_rate", "speed",
+                  "temporal_offsets"):
+            single[k] = data[k][:, -1:]
+        v_sf = sf.init({"params": jax.random.key(0)}, single, deterministic=True)
+        v_tb = tb.init({"params": jax.random.key(0)}, data, deterministic=True)
+        assert jax.tree.structure(v_sf["params"]) == jax.tree.structure(v_tb["params"])
+
     def test_loss_decreases_on_overfit(self, tmp_path):
         # overfit 4 fixed clips for several epochs: total train loss must drop
         trainer, args = make_trainer(tmp_path, n_train=4, batch=2)
