@@ -119,6 +119,7 @@ class NuScenesDataset:
         self.object_anns_dict = defaultdict(list)
         self.samples: List[dict] = []
         self.imus = {}
+        self._chain_pos = {}  # sample_data token -> ((timestamps, records), index)
         self._init_data(
             split, night, front_camera_only, filter_offsets, create_splits_scenes
         )
@@ -170,62 +171,108 @@ class NuScenesDataset:
                 self.samples.append(sds)
                 skip_counter -= 1
 
-        self._init_imu(split_scenes)
+        self._init_imu()
         if skip_counter:
             print(f"skipped {skip_counter} samples")
 
+    def _timeline(self, sample_data):
+        """The full sweep chain containing `sample_data`, as (timestamps int64
+        array, record list, index of sample_data). Each chain is traversed
+        once (head via prev-links, then forward) and cached for every token
+        on it, so repeated offset queries are array lookups."""
+        hit = self._chain_pos.get(sample_data["token"])
+        if hit is None:
+            head = sample_data
+            while head["prev"]:
+                head = self.nuscenes.get("sample_data", head["prev"])
+            chain = [head]
+            while chain[-1]["next"]:
+                chain.append(self.nuscenes.get("sample_data", chain[-1]["next"]))
+            entry = (np.array([r["timestamp"] for r in chain], np.int64), chain)
+            for i, rec in enumerate(chain):
+                self._chain_pos[rec["token"]] = (entry, i)
+            hit = self._chain_pos[sample_data["token"]]
+        (times, chain), k = hit
+        return times, chain, k
+
     def _surrounding(self, sample_data, offsets):
-        """Walk prev/next links matching offsets in seconds ("prev"/"next"
-        match the immediately adjacent sweep) — nu_scenes.py:183-213."""
-        frames = {0.0: sample_data}
+        """Select the sweeps matching `offsets` around a keyframe.
 
-        curr = sample_data
-        prev_offsets = [
-            o for o in reversed(offsets) if o != "next" and (o == "prev" or o < 0)
-        ]
-        while prev_offsets and curr["prev"]:
-            curr = self.nuscenes.get("sample_data", curr["prev"])
-            diff = round((curr["timestamp"] - sample_data["timestamp"]) / 1e6, 2)
-            if not isinstance(prev_offsets[0], str) and diff < prev_offsets[0]:
-                break
-            if diff == prev_offsets[0] or prev_offsets[0] == "prev":
-                frames[diff] = curr
-                prev_offsets.pop(0)
+        Contract (reference nu_scenes.py:183-213): offsets are seconds
+        relative to the keyframe, compared at 0.01 s rounding; "prev"/"next"
+        take the immediately adjacent sweep (repeatable, and relative to the
+        previous match when mixed with numeric offsets); a numeric offset
+        must be hit exactly, and the search on a side aborts once the
+        timeline overshoots the current target. Returns {offset: sample_data}
+        ascending; a partial dict (=> caller skips the sample) on failure.
+        """
+        times, chain, k = self._timeline(sample_data)
+        diffs = np.round((times - times[k]) / 1e6, 2)
+        picked = {0.0: sample_data}
 
-        curr = sample_data
-        next_offsets = [
-            o for o in offsets if o != "prev" and (o == "next" or o > 0)
-        ]
-        while next_offsets and curr["next"]:
-            curr = self.nuscenes.get("sample_data", curr["next"])
-            diff = round((curr["timestamp"] - sample_data["timestamp"]) / 1e6, 2)
-            if not isinstance(next_offsets[0], str) and diff > next_offsets[0]:
-                break
-            if diff == next_offsets[0] or next_offsets[0] == "next":
-                frames[diff] = curr
-                next_offsets.pop(0)
+        for direction in (-1, +1):
+            adjacent = "prev" if direction < 0 else "next"
+            if direction < 0:
+                targets = [
+                    o for o in reversed(offsets)
+                    if o != "next" and (o == "prev" or o < 0)
+                ]
+            else:
+                targets = [
+                    o for o in offsets if o != "prev" and (o == "next" or o > 0)
+                ]
+            pos = k
+            for target in targets:
+                pos += direction
+                if target == adjacent:
+                    if not 0 <= pos < len(chain):
+                        break
+                    picked[float(diffs[pos])] = chain[pos]
+                    continue
+                # Scan outward until the rounded diff reaches the target.
+                while 0 <= pos < len(chain):
+                    d = diffs[pos]
+                    if d == target or (d - target) * direction > 0:
+                        break
+                    pos += direction
+                if not (0 <= pos < len(chain) and diffs[pos] == target):
+                    break
+                picked[float(target)] = chain[pos]
 
-        return dict(sorted(frames.items()))
+        return dict(sorted(picked.items()))
 
-    def _init_imu(self, split_scenes):
-        """Nearest-utime CAN-bus pose per frame, merged with ego_pose
-        (nu_scenes.py:215-231)."""
-        scene_poses, scene_utimes = {}, {}
-        for name in split_scenes:
-            msgs = self.nusc_can.get_messages(scene_name=name, message_name="pose")
-            scene_poses[name] = msgs
-            scene_utimes[name] = np.array([m["utime"] for m in msgs])
-
+    def _init_imu(self):
+        """CAN-bus pose joined to every selected frame, merged with the
+        frame's ego_pose (contract of nu_scenes.py:215-231: nearest utime,
+        earlier message on ties). The join is a vectorized searchsorted over
+        each scene's chronological pose stream."""
+        frames_by_scene = defaultdict(dict)
         for sds in self.samples:
-            sample = self.nuscenes.get(
-                "sample", next(iter(sds.values()))["sample_token"]
+            any_sd = next(iter(sds.values()))
+            scene_token = self.nuscenes.get("sample", any_sd["sample_token"])[
+                "scene_token"
+            ]
+            name = self.nuscenes.get("scene", scene_token)["name"]
+            for sd in sds.values():
+                frames_by_scene[name][sd["token"]] = sd
+
+        for name, frames in frames_by_scene.items():
+            poses = self.nusc_can.get_messages(scene_name=name, message_name="pose")
+            order = np.argsort(
+                np.asarray([p["utime"] for p in poses], np.int64), kind="stable"
             )
-            name = self.nuscenes.get("scene", sample["scene_token"])["name"]
-            for _, sd in sorted(sds.items()):
-                idx = int(np.argmin(np.abs(scene_utimes[name] - sd["timestamp"])))
-                pose = scene_poses[name][idx]
+            poses = [poses[j] for j in order]
+            utimes = np.asarray([p["utime"] for p in poses], np.int64)
+            sds = list(frames.values())
+            stamps = np.asarray([sd["timestamp"] for sd in sds], np.int64)
+            hi = np.clip(np.searchsorted(utimes, stamps), 0, len(utimes) - 1)
+            lo = np.clip(hi - 1, 0, len(utimes) - 1)
+            nearest = np.where(
+                np.abs(utimes[lo] - stamps) <= np.abs(utimes[hi] - stamps), lo, hi
+            )
+            for sd, j in zip(sds, nearest):
                 ego = self.nuscenes.get("ego_pose", sd["ego_pose_token"])
-                self.imus[sd["token"]] = {**pose, **ego}
+                self.imus[sd["token"]] = dict(poses[int(j)], **ego)
 
     def __len__(self):
         return len(self.samples)

@@ -161,7 +161,83 @@ class TestSweepWalking:
         assert len(ds.samples) == 0
 
 
+class TestSweepWalkingInvariants:
+    def test_mixed_prev_and_numeric_offsets(self, monkeypatch, tmp_path):
+        # ["prev", -0.5, 0]: -0.5 matches exactly (sd3), then "prev" takes
+        # the sweep immediately before that match (sd2).
+        ds = make_dataset(monkeypatch, tmp_path, frame_offsets=["prev", -0.5, 0])
+        offsets = list(ds.samples[0].keys())
+        assert offsets == [-1.0, -0.5, 0.0]
+        tokens = [sd["token"] for sd in ds.samples[0].values()]
+        assert tokens == ["sd2", "sd3", "sd4"]
+
+    def test_overshoot_aborts_side(self, monkeypatch, tmp_path):
+        # -0.75 s falls between sweeps (-1.0 and -0.5): the backward search
+        # overshoots without an exact hit, so the sample is dropped even
+        # though a farther -1.0 sweep exists.
+        ds = make_dataset(monkeypatch, tmp_path, frame_offsets=[-0.75, 0])
+        assert len(ds.samples) == 0
+
+    def test_future_offset_matches_forward(self, monkeypatch, tmp_path):
+        # keyframe = sd2 (t=3.0s) via a custom key record: +0.5 matches sd3
+        import json, os
+        records = install_fake_devkit(
+            monkeypatch,
+            [2_000_000, 2_500_000, 3_000_000, 3_500_000, 4_000_000],
+            [3_000_000],
+        )
+        records["sd_key"] = records["sd2"]
+        os.makedirs(tmp_path / "v1.0-mini", exist_ok=True)
+        with open(tmp_path / "v1.0-mini" / "image_annotations.json", "w") as f:
+            json.dump([], f)
+        from future_od_tpu.data import nu_scenes as ns
+
+        ds = ns.NuScenesDataset(
+            root_path=str(tmp_path), split="mini_train", front_camera_only=True,
+            frame_offsets=[-0.5, 0, 0.5],
+        )
+        tokens = [sd["token"] for sd in ds.samples[0].values()]
+        assert tokens == ["sd1", "sd2", "sd3"]
+        assert list(ds.samples[0].keys()) == [-0.5, 0.0, 0.5]
+
+    def test_blacklisted_scene_removed(self, monkeypatch, tmp_path):
+        # scene-0001 in the CAN blacklist -> no samples survive
+        import json, os
+        records = install_fake_devkit(
+            monkeypatch,
+            [2_000_000, 2_500_000, 3_000_000, 3_500_000, 4_000_000],
+            [2_000_000],
+        )
+        records["sd_key"] = records["sd4"]
+        os.makedirs(tmp_path / "v1.0-mini", exist_ok=True)
+        with open(tmp_path / "v1.0-mini" / "image_annotations.json", "w") as f:
+            json.dump([], f)
+        import sys as _sys
+
+        _sys.modules["nuscenes.can_bus.can_bus_api"].NuScenesCanBus.can_blacklist = [1]
+        from future_od_tpu.data import nu_scenes as ns
+
+        try:
+            ds = ns.NuScenesDataset(
+                root_path=str(tmp_path), split="mini_train",
+                front_camera_only=True, frame_offsets=[-0.5, 0],
+            )
+        finally:
+            _sys.modules["nuscenes.can_bus.can_bus_api"].NuScenesCanBus.can_blacklist = []
+        assert len(ds) == 0
+
+
 class TestCanBusJoin:
+    def test_nearest_utime_tie_prefers_earlier_message(self, monkeypatch, tmp_path):
+        # keyframe t=4.0s exactly between utimes 3.9s and 4.1s -> the earlier
+        # message wins (reference argmin picks the first minimal index)
+        ds = make_dataset(
+            monkeypatch, tmp_path, frame_offsets=[-1.0, -0.5, 0],
+            can_utimes=[2_500_000, 3_000_000, 3_500_000, 3_900_000, 4_100_000],
+        )
+        assert ds.imus["sd4"]["vel"][0] == 3.0  # index 3 = utime 3.9s
+
+
     def test_nearest_utime_pose(self, monkeypatch, tmp_path):
         ds = make_dataset(monkeypatch, tmp_path, frame_offsets=[-1.0, -0.5, 0])
         # frame at 3.0s (sd2): nearest CAN utime is 3.1s (index 2)
