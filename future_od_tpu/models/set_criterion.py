@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from future_od_tpu.ops.boxes import box_cxcywh_to_xyxy, elementwise_generalized_box_iou
-from future_od_tpu.ops.losses import class_error, sigmoid_focal_loss
+from future_od_tpu.ops.losses import (
+    class_error,
+    sigmoid_binary_cross_entropy,
+    sigmoid_focal_loss,
+)
 from future_od_tpu.ops.matching import SOLVERS, matching_cost
 
 
@@ -37,13 +41,16 @@ class CriterionConfig:
     matching_mode: str = "per level"  # | "last level"
     matcher: str = "auction"  # | "hungarian"
     aux_loss: bool = True
+    masks: bool = False  # segmentation losses (set_criterion.py:117-148)
+    mask_loss_coef: float = 1.0
+    dice_loss_coef: float = 1.0
 
     def __post_init__(self):
         assert self.matching_mode in ("per level", "last level")
         assert self.matcher in SOLVERS
 
 
-def _match(outputs: Dict[str, jnp.ndarray], targets, cfg: CriterionConfig) -> jnp.ndarray:
+def _match(outputs: Dict[str, jnp.ndarray], targets, cfg: CriterionConfig):
     cost = matching_cost(
         outputs["pred_logits"],
         outputs["pred_boxes"],
@@ -53,7 +60,7 @@ def _match(outputs: Dict[str, jnp.ndarray], targets, cfg: CriterionConfig) -> jn
         cost_giou=cfg.set_cost_giou,
         focal_alpha=cfg.focal_alpha,
     )
-    return SOLVERS[cfg.matcher](cost, targets["active"])
+    return SOLVERS[cfg.matcher](cost, targets["active"], return_rounds=True)
 
 
 def _level_losses(
@@ -115,6 +122,45 @@ def _level_losses(
     return losses
 
 
+def _mask_losses(
+    outputs: Dict[str, jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    pred_idx: jnp.ndarray,
+    num_boxes: jnp.ndarray,
+    cfg: CriterionConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Mask focal + dice losses (set_criterion.py:117-148), dense/masked.
+
+    outputs["pred_masks"]: (B, M, h, w) logits; targets["masks"]: (B, N, H, W)
+    0/1 in the same dense slot layout as boxes. Matched predictions are
+    bilinearly upsampled to the target resolution (align_corners=False ==
+    jax.image.resize half-pixel convention); unmatched/inactive slots are
+    zeroed out of both reductions.
+    """
+    src = outputs["pred_masks"].astype(jnp.float32)
+    tgt = targets["masks"].astype(jnp.float32)
+    B, M = src.shape[:2]
+    N = tgt.shape[1]
+    matched = targets["active"] & (pred_idx < M)  # (B, N)
+
+    gather_idx = jnp.clip(pred_idx, 0, M - 1)
+    src = jnp.take_along_axis(src, gather_idx[:, :, None, None], axis=1)
+    src = jax.image.resize(src, (B, N) + tgt.shape[-2:], method="linear")
+    src = src.reshape(B, N, -1)
+    tgt = tgt.reshape(B, N, -1)
+
+    prob = jax.nn.sigmoid(src)
+    ce = sigmoid_binary_cross_entropy(src, tgt)
+    p_t = prob * tgt + (1.0 - prob) * (1.0 - tgt)
+    alpha_t = cfg.focal_alpha * tgt + (1.0 - cfg.focal_alpha) * (1.0 - tgt)
+    focal = (alpha_t * ce * (1.0 - p_t) ** 2).mean(-1)  # per-instance
+    loss_mask = jnp.where(matched, focal, 0.0).sum() / num_boxes
+
+    dice = 1.0 - (2.0 * (prob * tgt).sum(-1) + 1.0) / (prob.sum(-1) + tgt.sum(-1) + 1.0)
+    loss_dice = jnp.where(matched, dice, 0.0).sum() / num_boxes
+    return {"loss_mask": loss_mask, "loss_dice": loss_dice}
+
+
 def set_criterion(
     outputs: Dict[str, Any],
     targets: Dict[str, jnp.ndarray],
@@ -150,16 +196,33 @@ def set_criterion(
             axis=0,
         )  # (A·B, M, N)
         tiled_active = jnp.tile(targets["active"], (A, 1))
-        all_idx = SOLVERS[cfg.matcher](costs, tiled_active).reshape(A, B, N)
+        all_idx, rounds = SOLVERS[cfg.matcher](costs, tiled_active, return_rounds=True)
+        all_idx = all_idx.reshape(A, B, N)
         pred_idx, aux_idx = all_idx[0], [all_idx[i + 1] for i in range(len(aux))]
     else:
-        pred_idx = _match(outputs, targets, cfg)
+        pred_idx, rounds = _match(outputs, targets, cfg)
         aux_idx = [pred_idx] * len(aux)
 
     losses = _level_losses(outputs, targets, pred_idx, num_boxes, cfg, log=True)
+    if cfg.masks and "pred_masks" in outputs:
+        # Final level only, as in DETR (aux levels skip mask losses).
+        losses.update(_mask_losses(outputs, targets, pred_idx, num_boxes, cfg))
     for i, lvl in enumerate(aux):
         aux_losses = _level_losses(lvl, targets, aux_idx[i], num_boxes, cfg, log=False)
         losses.update({f"{k}_{i}": v for k, v in aux_losses.items()})
+
+    # Matcher telemetry (logging only): worst-case bidding rounds across all
+    # solved problems this step, and final-level unmatched actives per image.
+    # An ε regression (price-increment underflow) shows up here as rounds
+    # pinned at max_iters + a non-zero unmatched count.
+    M = outputs["pred_logits"].shape[1]
+    B = targets["active"].shape[0]
+    losses["matcher_rounds"] = jax.lax.stop_gradient(
+        jnp.max(rounds).astype(jnp.float32)
+    )
+    losses["matcher_unmatched"] = jax.lax.stop_gradient(
+        (targets["active"] & (pred_idx == M)).sum().astype(jnp.float32) / B
+    )
     return losses
 
 
@@ -172,6 +235,9 @@ def weighted_total(losses: Dict[str, jnp.ndarray], cfg: CriterionConfig, num_aux
         "loss_giou": cfg.giou_loss_coef,
     }
     weights = dict(base)
+    if cfg.masks:
+        weights["loss_mask"] = cfg.mask_loss_coef
+        weights["loss_dice"] = cfg.dice_loss_coef
     for i in range(num_aux):
         weights.update({f"{k}_{i}": v for k, v in base.items()})
     total = sum(losses[k] * w for k, w in weights.items() if k in losses)

@@ -86,13 +86,17 @@ class SpatioTemporalDETRArgs:
             matching_mode=matching_mode,
             matcher=self.matcher,
             aux_loss=self.aux_loss,
+            masks=self.masks,
         )
 
     def imu_keys(self) -> Tuple[str, ...]:
         return IMU_KEYS + (() if self.no_imu_speed else ("speed",))
 
 
-STAT_IDFS = ("labels", "box_l1", "box_giou", "cardinality", "class_error")
+STAT_IDFS = (
+    "labels", "box_l1", "box_giou", "cardinality", "class_error",
+    "matcher_rounds", "matcher_unmatched",
+)
 
 
 class SpatioTemporalDETR(nn.Module):
@@ -182,6 +186,8 @@ def compute_loss(
         "box_giou": losses["loss_giou"] * weights["loss_giou"],
         "cardinality": losses["cardinality_error"],
         "class_error": losses["class_error"],
+        "matcher_rounds": losses["matcher_rounds"],
+        "matcher_unmatched": losses["matcher_unmatched"],
     }
     return total, stats
 

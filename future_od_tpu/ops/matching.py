@@ -82,9 +82,10 @@ def matching_cost(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "eps"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "eps", "return_rounds"))
 def auction_assignment(
-    cost: jnp.ndarray, active: jnp.ndarray, max_iters: int = 1000, eps: float = 1e-3
+    cost: jnp.ndarray, active: jnp.ndarray, max_iters: int = 1000, eps: float = 1e-3,
+    return_rounds: bool = False,
 ) -> jnp.ndarray:
     """Batched single-phase Jacobi auction on the (negated) cost.
 
@@ -115,11 +116,15 @@ def auction_assignment(
             the textbook 1/N-style ε costs 5-10x the rounds. Must also stay
             representable in f32 next to prices of O(1).
     Returns:
-        (B, N) int32 pred index per target slot; M for unmatched.
+        (B, N) int32 pred index per target slot; M for unmatched. With
+        return_rounds=True, also the (B,) int32 bidding-round counts —
+        telemetry that makes ε regressions (price-increment underflow burning
+        max_iters) visible in training stats instead of only as a slowdown.
     """
-    return jax.vmap(lambda c, a: _auction_single(c, a, max_iters, eps))(
+    idx, rounds = jax.vmap(lambda c, a: _auction_single(c, a, max_iters, eps))(
         cost, active.astype(bool)
     )
+    return (idx, rounds) if return_rounds else idx
 
 
 def _auction_single(
@@ -179,8 +184,8 @@ def _auction_single(
         jnp.full((M,), -1, jnp.int32),
         jnp.int32(0),
     )
-    _, owner, _, _ = jax.lax.while_loop(cond, round_body, init)
-    return jnp.where(active & (owner >= 0), owner, M).astype(jnp.int32)
+    _, owner, _, it = jax.lax.while_loop(cond, round_body, init)
+    return jnp.where(active & (owner >= 0), owner, M).astype(jnp.int32), it
 
 
 # ---------------------------------------------------------------------------
@@ -203,20 +208,24 @@ def _hungarian_host(cost: np.ndarray, active: np.ndarray) -> np.ndarray:
     return out
 
 
-def hungarian_assignment(cost: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+def hungarian_assignment(
+    cost: jnp.ndarray, active: jnp.ndarray, return_rounds: bool = False
+) -> jnp.ndarray:
     """Exact assignment through a host callback (jit-compatible, host-synced).
 
-    Same contract as `auction_assignment`. Used for parity validation and for
-    runs that want the reference's exact matcher semantics.
+    Same contract as `auction_assignment` (rounds reported as 0 — the JV
+    solver is exact, not iterative). Used for parity validation and for runs
+    that want the reference's exact matcher semantics.
     """
     B, M, N = cost.shape
-    return jax.pure_callback(
+    idx = jax.pure_callback(
         _hungarian_host,
         jax.ShapeDtypeStruct((B, N), jnp.int32),
         cost.astype(jnp.float32),
         active.astype(bool),
         vmap_method="sequential",
     )
+    return (idx, jnp.zeros((B,), jnp.int32)) if return_rounds else idx
 
 
 SOLVERS = {

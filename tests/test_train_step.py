@@ -107,6 +107,81 @@ class TestMixedPrecision:
         assert dtypes == {jnp.dtype(jnp.float32)}
 
 
+class TestMatcherTelemetry:
+    def test_rounds_and_unmatched_in_losses_and_stats(self):
+        import tests.test_models as tm
+        from future_od_tpu.models.st_detr import compute_loss, normalize_outputs
+
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = build_flagship(args)
+        data = tm.make_data(np.random.default_rng(3), B=2, L=2, H=64, W=64, N=6, num_classes=4)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        out = model.apply(variables, data, deterministic=True)
+        annotated, _, _ = normalize_outputs(out, data)
+        _, stats = compute_loss(annotated, data, args.criterion_config())
+        assert float(stats["matcher_rounds"]) >= 1.0
+        # 8 queries >= 6 target slots: the auction must match every active
+        assert float(stats["matcher_unmatched"]) == 0.0
+
+    def test_solver_round_contract(self):
+        from future_od_tpu.ops.matching import auction_assignment, hungarian_assignment
+
+        rng = np.random.default_rng(0)
+        cost = jnp.asarray(rng.normal(size=(3, 8, 5)).astype(np.float32))
+        active = jnp.asarray(rng.uniform(size=(3, 5)) < 0.8)
+        idx, rounds = auction_assignment(cost, active, return_rounds=True)
+        assert idx.shape == (3, 5) and rounds.shape == (3,)
+        assert np.all(np.asarray(rounds) >= (np.asarray(active).sum(-1) > 0))
+        # plain call keeps the old contract
+        idx_only = auction_assignment(cost, active)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_only))
+        h_idx, h_rounds = hungarian_assignment(cost, active, return_rounds=True)
+        assert np.all(np.asarray(h_rounds) == 0)
+
+
+class TestMaskLosses:
+    def _setup(self, invert=False):
+        from future_od_tpu.models.set_criterion import CriterionConfig, set_criterion
+
+        B, M, N, C = 2, 6, 4, 3
+        rng = np.random.default_rng(0)
+        boxes = np.full((B, N, 4), 0.5, np.float32)
+        targets = {
+            "boxes": jnp.asarray(boxes),
+            "labels": jnp.asarray(rng.integers(0, C, (B, N))),
+            "active": jnp.asarray(np.ones((B, N), bool)),
+            "masks": jnp.asarray((rng.uniform(size=(B, N, 16, 16)) < 0.5).astype(np.float32)),
+        }
+        # predictions: queries 0..N-1 perfectly aligned with targets
+        logits = np.full((B, M, C), -4.0, np.float32)
+        pred_boxes = np.full((B, M, 4), 0.5, np.float32)
+        masks_small = np.asarray(
+            jax.image.resize(targets["masks"], (B, N, 8, 8), method="linear")
+        )
+        pred_masks = np.full((B, M, 8, 8), 0.0, np.float32)
+        sign = -1.0 if invert else 1.0
+        pred_masks[:, :N] = sign * 8.0 * (masks_small - 0.5)
+        outputs = {
+            "pred_logits": jnp.asarray(logits),
+            "pred_boxes": jnp.asarray(pred_boxes),
+            "pred_masks": jnp.asarray(pred_masks),
+        }
+        cfg = CriterionConfig(num_classes=C, masks=True, aux_loss=False)
+        return set_criterion(outputs, targets, cfg), cfg
+
+    def test_mask_losses_present_and_ordered(self):
+        from future_od_tpu.models.set_criterion import weighted_total
+
+        losses_good, cfg = self._setup(invert=False)
+        losses_bad, _ = self._setup(invert=True)
+        for key in ("loss_mask", "loss_dice"):
+            assert np.isfinite(float(losses_good[key]))
+            assert float(losses_good[key]) < float(losses_bad[key])
+        total, weights = weighted_total(losses_good, cfg, num_aux=0)
+        assert "loss_mask" in weights and "loss_dice" in weights
+        assert np.isfinite(float(total))
+
+
 class TestMatcherParity:
     def test_auction_vs_hungarian_loss(self):
         # Same params/data: the on-device auction's matching must give a loss
