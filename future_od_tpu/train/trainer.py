@@ -222,8 +222,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _setup_wandb(self, tags=None):
+        from future_od_tpu.parallel.distributed import is_main_process
+
         conf = self._wandb_config
-        if not conf.enabled:
+        if not conf.enabled or not is_main_process():
             return
         wandb = maybe_import_wandb()
         if wandb is None:
@@ -346,6 +348,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, is_final: bool = False):
+        from future_od_tpu.parallel.distributed import is_main_process
+
+        if not is_main_process():
+            # Multi-host: rank 0 writes, like the reference (trainer.py:98).
+            return
         arrays = {
             "params": self.state.params,
             "frozen": self.state.frozen,
@@ -439,7 +446,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def visualize_batch(self, batch, output, mode: str, prefix: str = ""):
-        """PNG + W&B box overlays (trainer.py:334-413)."""
+        """PNG + W&B box overlays (trainer.py:334-413). Rank 0 only."""
+        from future_od_tpu.parallel.distributed import is_main_process
+
+        if not is_main_process():
+            return
         scores = np.asarray(output["class_scores"])  # (B, L_out, 1, M, C+1)
         boxes = np.asarray(output["boxes"])
         B, L_out = scores.shape[:2]

@@ -31,6 +31,10 @@ def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loade
                 tracker=None):
     import jax
 
+    from future_od_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed(args)
+
     if detr_args.matcher == "hungarian" and jax.default_backend() not in ("cpu",):
         # jax.pure_callback is unsupported on this TPU backend (axon); the
         # exact matcher would crash mid-epoch. Fail fast with guidance.
@@ -113,3 +117,9 @@ def add_tpu_args(parser):
         "--bf16", action="store_true", default=False,
         help="bfloat16 forward/backward with f32 master params (mixed precision)",
     )
+    # Multi-host (one process per host; SURVEY.md §2.3). "auto" on Cloud TPU
+    # pods; otherwise coordinator/num/id, or SLURM env is picked up directly.
+    parser.add_argument("--dist_coordinator", default=None,
+                        help='multi-host coordinator "host:port", or "auto" on Cloud TPU')
+    parser.add_argument("--dist_num_processes", default=None, type=int)
+    parser.add_argument("--dist_process_id", default=None, type=int)

@@ -141,3 +141,62 @@ class TestTrainerWithMesh:
         assert trainer._epoch == 1
         m = trainer._stats["train labels loss"]
         assert np.isfinite(m.history[-1])
+
+
+class TestDistributedConfig:
+    """Multi-host launch decision logic (parallel/distributed.py) — pure,
+    testable without a cluster."""
+
+    def test_single_process_is_none(self):
+        from future_od_tpu.parallel.distributed import distributed_config
+
+        assert distributed_config(env={}) is None
+        assert distributed_config(env={"SLURM_NTASKS": "1"}) is None
+
+    def test_explicit_env(self):
+        from future_od_tpu.parallel.distributed import distributed_config
+
+        cfg = distributed_config(
+            env={
+                "COORDINATOR_ADDRESS": "10.0.0.1:1234",
+                "NUM_PROCESSES": "4",
+                "PROCESS_ID": "2",
+            }
+        )
+        assert cfg.coordinator_address == "10.0.0.1:1234"
+        assert cfg.num_processes == 4 and cfg.process_id == 2
+
+    def test_slurm_env(self):
+        from future_od_tpu.parallel.distributed import distributed_config
+
+        cfg = distributed_config(
+            env={
+                "SLURM_NTASKS": "2",
+                "SLURM_PROCID": "1",
+                "SLURM_STEP_NODELIST": "tpu-host[03-04]",
+            }
+        )
+        assert cfg.coordinator_address == "tpu-host03:8476"
+        assert cfg.num_processes == 2 and cfg.process_id == 1
+
+    def test_flags_take_precedence(self):
+        import argparse
+
+        from future_od_tpu.parallel.distributed import distributed_config
+
+        args = argparse.Namespace(
+            dist_coordinator="head:9", dist_num_processes=8, dist_process_id=3
+        )
+        cfg = distributed_config(
+            args, env={"COORDINATOR_ADDRESS": "x:1", "NUM_PROCESSES": "2"}
+        )
+        assert cfg.coordinator_address == "head:9"
+        assert cfg.num_processes == 8 and cfg.process_id == 3
+
+    def test_mesh_axes_keeps_model_axis_intra_host(self):
+        from future_od_tpu.parallel.distributed import mesh_axes
+
+        # 4 hosts x 4 local chips, tp=4 -> data axis 4 across hosts
+        assert mesh_axes(16, 4, 4) == (4, 4)
+        with pytest.raises(AssertionError):
+            mesh_axes(16, 4, 8)  # tp would cross hosts
