@@ -14,7 +14,7 @@ with a plain sum is already the cross-replica sum the reference obtains with
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -161,41 +161,64 @@ def _mask_losses(
     return {"loss_mask": loss_mask, "loss_dice": loss_dice}
 
 
+def matching_costs_all(
+    outputs: Dict[str, Any], targets: Dict[str, jnp.ndarray], cfg: CriterionConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stacked matching costs for every level the criterion will match:
+    ((A·B, M, N) costs, (A·B, N) active), A = 1 + num_aux under "per level"
+    matching, else 1. Shared by the in-jit solve and the host-matched split
+    step (train/step.py:make_host_matched_train_step)."""
+    levels = [outputs]
+    if cfg.aux_loss and cfg.matching_mode == "per level":
+        levels += list(outputs.get("aux_outputs", []))
+    costs = jnp.concatenate(
+        [
+            matching_cost(
+                lvl["pred_logits"], lvl["pred_boxes"], targets,
+                cost_class=cfg.set_cost_class, cost_bbox=cfg.set_cost_bbox,
+                cost_giou=cfg.set_cost_giou, focal_alpha=cfg.focal_alpha,
+            )
+            for lvl in levels
+        ],
+        axis=0,
+    )
+    return costs, jnp.tile(targets["active"], (len(levels), 1))
+
+
 def set_criterion(
     outputs: Dict[str, Any],
     targets: Dict[str, jnp.ndarray],
     cfg: CriterionConfig,
+    pred_idx_all: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full criterion over the final level + aux levels (set_criterion.py:172-217).
 
     outputs: {"pred_logits": (B, M, C), "pred_boxes": (B, M, 4),
               "aux_outputs": [ {...} per intermediate level ]}.
     targets: dense masked dict from `to_detr_targets`.
+    pred_idx_all: optional externally-solved indices (A, B, N) — A matching
+    `matching_costs_all`'s level count — used by the host-matched split step;
+    when given, no solver runs inside this function.
     Returns a dict of per-loss scalars, aux levels suffixed `_{i}`.
     """
     num_boxes = jnp.maximum(targets["active"].sum().astype(jnp.float32), 1.0)
     aux = list(outputs.get("aux_outputs", [])) if cfg.aux_loss else []
 
-    if aux and cfg.matching_mode == "per level":
+    if pred_idx_all is not None:
+        rounds = jnp.zeros((1,), jnp.int32)
+        pred_idx = pred_idx_all[0]
+        if pred_idx_all.shape[0] > 1:
+            aux_idx = [pred_idx_all[i + 1] for i in range(len(aux))]
+        else:
+            aux_idx = [pred_idx] * len(aux)
+    elif aux and cfg.matching_mode == "per level":
         # Batch all levels into ONE vmapped solve: the auction's while_loop is
         # the only sequential part of the criterion, so running (levels+1)·B
         # problems in lockstep instead of levels+1 sequential solves divides
         # its wall-clock by the level count.
-        levels = [outputs] + aux
-        A = len(levels)
-        B, _, N = targets["active"].shape[0], None, targets["labels"].shape[1]
-        costs = jnp.concatenate(
-            [
-                matching_cost(
-                    lvl["pred_logits"], lvl["pred_boxes"], targets,
-                    cost_class=cfg.set_cost_class, cost_bbox=cfg.set_cost_bbox,
-                    cost_giou=cfg.set_cost_giou, focal_alpha=cfg.focal_alpha,
-                )
-                for lvl in levels
-            ],
-            axis=0,
-        )  # (A·B, M, N)
-        tiled_active = jnp.tile(targets["active"], (A, 1))
+        B, N = targets["active"].shape[0], targets["labels"].shape[1]
+        costs, tiled_active = matching_costs_all(outputs, targets, cfg)
+        A = costs.shape[0] // B
         all_idx, rounds = SOLVERS[cfg.matcher](costs, tiled_active, return_rounds=True)
         all_idx = all_idx.reshape(A, B, N)
         pred_idx, aux_idx = all_idx[0], [all_idx[i + 1] for i in range(len(aux))]

@@ -171,13 +171,14 @@ def compute_loss(
     annotated_output: Dict[str, Any],
     data: Dict[str, jnp.ndarray],
     criterion_cfg: CriterionConfig,
+    pred_idx_all: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Set loss + the reference's stat dict (st_detr.py:169-188)."""
     H, W = data["video"].shape[2], data["video"].shape[3]
     targets = to_detr_targets(
         H, W, data["active"], data["boxes"], data["classes"]
     )
-    losses = set_criterion(annotated_output, targets, criterion_cfg)
+    losses = set_criterion(annotated_output, targets, criterion_cfg, pred_idx_all)
     num_aux = len(annotated_output.get("aux_outputs", []))
     total, weights = weighted_total(losses, criterion_cfg, num_aux)
     stats = {

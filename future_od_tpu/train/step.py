@@ -40,14 +40,14 @@ BATCH_KEYS_FOR_LOSS = (
 
 
 def _forward_and_loss(model, criterion_cfg: CriterionConfig, params, frozen, data,
-                      deterministic: bool, dropout_rng=None):
+                      deterministic: bool, dropout_rng=None, pred_idx_all=None):
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
     out = model.apply(
         {"params": params, "frozen": frozen}, data,
         deterministic=deterministic, rngs=rngs,
     )
     annotated, pred_logits, pred_boxes = normalize_outputs(out, data)
-    loss, stats = compute_loss(annotated, data, criterion_cfg)
+    loss, stats = compute_loss(annotated, data, criterion_cfg, pred_idx_all)
     return loss, (stats, pred_logits, pred_boxes)
 
 
@@ -108,6 +108,112 @@ def make_train_step(
         return new_state, loss, stats, od_map_stuffs, output
 
     return train_step
+
+
+def make_host_matched_steps(
+    model, criterion_cfg: CriterionConfig, tx: Optional[optax.GradientTransformation],
+    mixed_precision: bool = False,
+) -> Tuple[Optional[Callable], Callable]:
+    """Exact-Hungarian train/eval steps for backends WITHOUT host callbacks
+    (the axon TPU runtime does not support `jax.pure_callback`).
+
+    Split step (VERDICT round-1 item 6): a jitted cost pass (forward + stacked
+    per-level matching costs), the bundled C++ JV solver on host, then a
+    jitted loss/grad pass consuming the solved indices. Both passes fold the
+    SAME dropout rng, so the outputs the costs were computed from are
+    bit-identical to the grad pass's — exactly the reference's semantics of
+    matching on the current forward (set_criterion.py:182). Costs: one extra
+    forward per step (~1.5x) — this is the parity-validation arm, not the
+    production path.
+
+    Returns (train_step or None if tx is None, eval_step) with the same
+    signatures/products as make_train_step/make_eval_step.
+    """
+    import numpy as np
+
+    from future_od_tpu.models.set_criterion import matching_costs_all
+    from future_od_tpu.ops.matching import _hungarian_host
+    from future_od_tpu.ops.target_utils import to_detr_targets
+
+    def _cast(params, frozen, data):
+        if mixed_precision:
+            data = dict(data)
+            data["video"] = data["video"].astype(jnp.bfloat16)
+            return _to_half(params, jnp.bfloat16), _to_half(frozen, jnp.bfloat16), data
+        return params, frozen, data
+
+    def _costs(params, frozen, data, dropout_rng):
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        out = model.apply(
+            {"params": params, "frozen": frozen}, data,
+            deterministic=dropout_rng is None, rngs=rngs,
+        )
+        annotated, _, _ = normalize_outputs(out, data)
+        H, W = data["video"].shape[2], data["video"].shape[3]
+        targets = to_detr_targets(H, W, data["active"], data["boxes"], data["classes"])
+        return matching_costs_all(annotated, targets, criterion_cfg)
+
+    @jax.jit
+    def train_cost_step(state: TrainState, data, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        params, frozen, data = _cast(state.params, state.frozen, data)
+        return _costs(params, frozen, data, dropout_rng)
+
+    @jax.jit
+    def eval_cost_step(state: TrainState, data):
+        params, frozen, data = _cast(state.params, state.frozen, data)
+        return _costs(params, frozen, data, None)
+
+    @jax.jit
+    def grad_step(state: TrainState, data, rng, pred_idx_all):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def fwd(p):
+            params, frozen, d = _cast(p, state.frozen, data)
+            return _forward_and_loss(
+                model, criterion_cfg, params, frozen, d,
+                deterministic=False, dropout_rng=dropout_rng,
+                pred_idx_all=pred_idx_all,
+            )
+
+        (loss, (stats, pred_logits, pred_boxes)), grads = jax.value_and_grad(
+            fwd, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, state.frozen, opt_state, state.step + 1)
+        output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
+        return new_state, loss, stats, od_map_stuffs, output
+
+    @jax.jit
+    def loss_step(state: TrainState, data, pred_idx_all):
+        params, frozen, d = _cast(state.params, state.frozen, data)
+        loss, (stats, pred_logits, pred_boxes) = _forward_and_loss(
+            model, criterion_cfg, params, frozen, d,
+            deterministic=True, pred_idx_all=pred_idx_all,
+        )
+        output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
+        return loss, stats, od_map_stuffs, output
+
+    def _solve(costs, active, B):
+        idx = _hungarian_host(
+            np.asarray(costs, np.float32), np.asarray(active, bool)
+        )  # (A*B, N)
+        return jnp.asarray(idx.reshape(-1, B, idx.shape[-1]))
+
+    def train_step(state, data, rng):
+        costs, active = train_cost_step(state, data, rng)
+        return grad_step(
+            state, data, rng, _solve(costs, active, data["active"].shape[0])
+        )
+
+    def eval_step(state, data):
+        costs, active = eval_cost_step(state, data)
+        return loss_step(
+            state, data, _solve(costs, active, data["active"].shape[0])
+        )
+
+    return (train_step if tx is not None else None), eval_step
 
 
 def make_eval_step(model, criterion_cfg: CriterionConfig) -> Callable:

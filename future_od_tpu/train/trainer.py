@@ -127,6 +127,29 @@ class Trainer:
             opt_state=opt_state,
             step=jnp.int32(0),
         )
+        # Exact-Hungarian on callback-less backends (axon): split-step arm —
+        # jitted cost pass -> host C++ JV solve -> jitted grad pass.
+        self._host_matched = (
+            self._criterion_cfg.matcher == "hungarian"
+            and jax.default_backend() not in ("cpu",)
+        )
+        if self._host_matched:
+            assert mesh is None, "host-matched split step is single-host only"
+            from future_od_tpu.train.step import make_host_matched_steps
+
+            self._train_step, self._eval_step = make_host_matched_steps(
+                model, self._criterion_cfg, self._tx,
+                mixed_precision=mixed_precision,
+            )
+            self._batch_shard = None
+            if tracker is not None:
+                from future_od_tpu.train.step import make_tracker_eval_step
+
+                self._eval_step = make_tracker_eval_step(
+                    model, self._criterion_cfg, tracker
+                )
+            return
+
         train_fn = make_train_step(
             model, self._criterion_cfg, self._tx, mixed_precision=mixed_precision
         )

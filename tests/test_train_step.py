@@ -182,6 +182,53 @@ class TestMaskLosses:
         assert np.isfinite(float(total))
 
 
+class TestHostMatchedSplitStep:
+    """The exact-Hungarian arm for callback-less backends: split step (jitted
+    cost pass -> host JV -> jitted grad pass) must reproduce the in-jit
+    pure_callback hungarian step exactly."""
+
+    def test_matches_injit_hungarian_train_step(self):
+        import tests.test_models as tm
+        from future_od_tpu.train.step import make_host_matched_steps
+
+        args = SpatioTemporalDETRArgs(**{**TINY, "matcher": "hungarian"})
+        model = build_flagship(args)
+        data = tm.make_data(np.random.default_rng(7), B=2, L=2, H=64, W=64, N=8)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        tx, opt_state = build_optimizer(
+            variables["params"], lr=1e-4, lr_backbone=1e-5, max_norm=0.1
+        )
+        state = TrainState(
+            variables["params"], variables["frozen"], opt_state, jnp.int32(0)
+        )
+        cfg = args.criterion_config()
+        injit = jax.jit(make_train_step(model, cfg, tx))
+        split_train, split_eval = make_host_matched_steps(model, cfg, tx)
+
+        rng = jax.random.key(1)
+        s1, loss1, stats1, _, _ = injit(state, data, rng)
+        s2, loss2, stats2, _, _ = split_train(state, data, rng)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+        for k in ("labels", "box_l1", "box_giou"):
+            np.testing.assert_allclose(
+                float(stats1[k]), float(stats2[k]), rtol=1e-6, err_msg=k
+            )
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
+        )
+        assert max(jax.tree.leaves(moved)) < 1e-6
+
+        # eval side too
+        eval_injit = jax.jit(
+            __import__(
+                "future_od_tpu.train.step", fromlist=["make_eval_step"]
+            ).make_eval_step(model, cfg)
+        )
+        l1, st1, _, _ = eval_injit(state, data)
+        l2, st2, _, _ = split_eval(state, data)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
 class TestMatcherParity:
     def test_auction_vs_hungarian_loss(self):
         # Same params/data: the on-device auction's matching must give a loss
