@@ -89,29 +89,48 @@ def attend_heads(
 ) -> jnp.ndarray:
     """Multi-head attention core -> (B, Nq, H*dv).
 
-    On the inference path (deterministic, no attention capture, TPU backend,
-    large key count) this dispatches to the fused Pallas flash kernel
-    (ops/flash_attention.py) — measured 2.2x the XLA einsum at the encoder's
-    1400-token shape. Training and attention-capture paths keep the einsum
-    formulation (attention-weight dropout + autodiff + sow).
+    On TPU with a large key count and no attention capture this dispatches to
+    the fused Pallas flash kernels (ops/flash_attention.py) — measured 2.2x
+    the XLA einsum at the encoder's 1400-token shape. The training path uses
+    the differentiable variant (custom-vjp forward/backward kernels with
+    in-kernel attention-weight dropout), so (Nq, Nk) logits never touch HBM in
+    either direction. Attention-capture and small shapes keep the einsum
+    formulation (sow + exact torch-oracle parity).
     """
-    use_flash = (
-        deterministic
-        and not sow_weights
-        and kh.shape[1] >= 256
-        and flash_allowed()
-    )
+    use_flash = not sow_weights and kh.shape[1] >= 256 and flash_allowed()
     if use_flash:
-        from future_od_tpu.ops.flash_attention import flash_attention
+        if deterministic:
+            from future_od_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(
-            qh.transpose(0, 2, 1, 3),
-            kh.transpose(0, 2, 1, 3),
-            vh.transpose(0, 2, 1, 3),
-            scale,
-            block_q=512,
-            block_k=1536,
-        )  # (B, H, Nq, dv)
+            out = flash_attention(
+                qh.transpose(0, 2, 1, 3),
+                kh.transpose(0, 2, 1, 3),
+                vh.transpose(0, 2, 1, 3),
+                scale,
+                block_q=512,
+                block_k=1536,
+            )  # (B, H, Nq, dv)
+        else:
+            from future_od_tpu.ops.flash_attention import flash_attention_train
+
+            rate = float(dropout_rate)
+            if rate > 0.0 and module is not None:
+                rng = module.make_rng("dropout")
+                seed = jax.random.randint(
+                    rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+            else:
+                rate, seed = 0.0, jnp.int32(0)
+            out = flash_attention_train(
+                qh.transpose(0, 2, 1, 3),
+                kh.transpose(0, 2, 1, 3),
+                vh.transpose(0, 2, 1, 3),
+                seed,
+                scale,
+                rate,
+                256,
+                512,
+            )
         out = out.transpose(0, 2, 1, 3)
         return out.reshape(*out.shape[:2], -1)
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)

@@ -125,6 +125,320 @@ def flash_attention(
     return out[:, :Nq].reshape(B, H, Nq, dv)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable flash attention (training path)
+# ---------------------------------------------------------------------------
+#
+# custom_vjp with Pallas forward AND backward kernels. The forward also emits
+# the logsumexp rows; the backward recomputes probabilities per block from
+# them (the standard flash backward), so (Nq, Nk) tensors never touch HBM in
+# either direction. Attention-weight dropout is generated INSIDE the kernels
+# by a stateless integer hash of the GLOBAL (batch·head, row, col) coordinate
+# and the seed — the forward and both backward kernels therefore regenerate
+# bit-identical masks regardless of their block partitioning, and the same
+# code runs under interpret mode (no TPU-PRNG primitive dependency).
+
+
+def _dropout_mask(seed_ref, bh, row0, col0, shape, rate, nq_pad, nk_pad):
+    """Deterministic dropout keep-mask for the tile whose global top-left
+    element is (bh, row0, col0), scaled by 1/keep. PCG-style output hash over
+    the element's flat index XOR seed (wrapping uint32 arithmetic)."""
+    row = row0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = ((bh * nq_pad + row) * nk_pad + col).astype(jnp.uint32)
+    x = idx ^ (seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    w = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(277803737)
+    bits = (w >> jnp.uint32(22)) ^ w
+    threshold = jnp.uint32(min(int(rate * (2**32)), 2**32 - 1))
+    return (bits >= threshold).astype(jnp.float32) / (1.0 - rate)
+
+
+def _flash_fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, out_ref, lse_ref, *, scale, kv_len, block_k, rate
+):
+    block_q = q_ref.shape[1]
+    d_v = v_ref.shape[-1]
+    num_kb = k_ref.shape[1] // block_k
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+
+    def body(kb, carry):
+        acc, row_max, row_sum = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+
+        new_max = jnp.maximum(row_max, logits.max(axis=1, keepdims=True))
+        correction = jnp.exp(row_max - new_max)
+        p = jnp.exp(logits - new_max)
+        new_sum = row_sum * correction + p.sum(axis=1, keepdims=True)
+        if rate > 0.0:
+            p = p * _dropout_mask(
+                seed_ref, bh, qb * block_q, kb * block_k, p.shape, rate,
+                q_ref.shape[1] * pl.num_programs(1), k_ref.shape[1],
+            )
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        new_acc = acc * correction + pv
+        return new_acc, new_max, new_sum
+
+    acc = jnp.zeros((block_q, d_v), jnp.float32)
+    row_max = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    row_sum = jnp.zeros((block_q, 1), jnp.float32)
+    acc, row_max, row_sum = jax.lax.fori_loop(0, num_kb, body, (acc, row_max, row_sum))
+    out_ref[0] = (acc / row_sum).astype(out_ref.dtype)
+    lse_ref[0] = (row_max + jnp.log(row_sum))[:, 0]
+
+
+def _flash_dq_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale, kv_len, block_k, rate,
+):
+    """dq for one (bh, q-block): dq = Σ_kb (p ⊙ (dS - δ)) · k · scale."""
+    num_kb = k_ref.shape[1] // block_k
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+
+    def body(kb, dq):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        logits = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        p = jnp.where(col < kv_len, jnp.exp(logits - lse), 0.0)
+        ds = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0:
+            ds = ds * _dropout_mask(
+                seed_ref, bh, qb * q_ref.shape[1], kb * block_k, ds.shape, rate,
+                q_ref.shape[1] * pl.num_programs(1), k_ref.shape[1],
+            )
+        dlogits = p * (ds - delta)
+        return dq + jax.lax.dot_general(
+            dlogits, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+    )
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, q_len, kv_len, block_q, rate,
+):
+    """dk/dv for one (bh, k-block): loop over q blocks."""
+    num_qb = q_ref.shape[1] // block_q
+    bh = pl.program_id(0)
+    kb = pl.program_id(1)
+    block_k = k_ref.shape[1]
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        row = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0
+        )
+        logits = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # zero out padded keys AND padded query rows (their lse is garbage)
+        valid = (col < kv_len) & (row < q_len)
+        p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
+        ds = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0:
+            mask = _dropout_mask(
+                seed_ref, bh, qb * block_q, kb * block_k, p.shape, rate,
+                q_ref.shape[1], block_k * pl.num_programs(1),
+            )
+            p_dropped = p * mask
+            ds = ds * mask
+        else:
+            p_dropped = p
+        dv = dv + jax.lax.dot_general(
+            p_dropped, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dlogits = p * (ds - delta)
+        dk = dk + jax.lax.dot_general(
+            dlogits, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk = jnp.zeros((block_k, k.shape[1]), jnp.float32)
+    dv = jnp.zeros((block_k, v.shape[1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk, dv))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _train_shapes(q, k, block_q, block_k):
+    B, H, Nq, d = q.shape
+    Nk = k.shape[2]
+    block_q = min(block_q, max(8, Nq))
+    block_k = min(block_k, max(128, Nk))
+    nq_pad = -(-Nq // block_q) * block_q
+    nk_pad = -(-Nk // block_k) * block_k
+    return B, H, Nq, Nk, d, block_q, block_k, nq_pad, nk_pad
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+)
+def flash_attention_train(
+    q, k, v, seed, scale, dropout_rate=0.0, block_q=DEFAULT_BLOCK_Q,
+    block_k=DEFAULT_BLOCK_K, interpret=False,
+):
+    """Differentiable fused attention with in-kernel attention-weight dropout.
+
+    q/k/v: (B, H, N, d); seed: int32 scalar array driving the dropout PRNG
+    (ignored when dropout_rate == 0). Returns (B, H, Nq, dv) in q's dtype.
+    """
+    out, _ = _flash_train_fwd(
+        q, k, v, seed, scale, dropout_rate, block_q, block_k, interpret
+    )
+    return out
+
+
+def _flash_train_fwd(q, k, v, seed, scale, dropout_rate, block_q, block_k, interpret):
+    B, H, Nq, Nk, d, block_q, block_k, nq_pad, nk_pad = _train_shapes(
+        q, k, block_q, block_k
+    )
+    dv_dim = v.shape[3]
+    qf = _pad_to(q.reshape(B * H, Nq, d), nq_pad, 1)
+    kf = _pad_to(k.reshape(B * H, Nk, d), nk_pad, 1)
+    vf = _pad_to(v.reshape(B * H, Nk, dv_dim), nk_pad, 1)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    grid = (B * H, nq_pad // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_kernel, scale=scale, kv_len=Nk, block_k=block_k,
+            rate=dropout_rate,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, dv_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dv_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, nq_pad, dv_dim), q.dtype),
+            jax.ShapeDtypeStruct((B * H, nq_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed_arr, qf, kf, vf)
+    out = out[:, :Nq].reshape(B, H, Nq, dv_dim)
+    return out, (q, k, v, seed_arr, out, lse)
+
+
+def _flash_train_bwd(scale, dropout_rate, block_q, block_k, interpret, res, do):
+    q, k, v, seed_arr, out, lse = res
+    B, H, Nq, Nk, d, block_q, block_k, nq_pad, nk_pad = _train_shapes(
+        q, k, block_q, block_k
+    )
+    dv_dim = v.shape[3]
+    qf = _pad_to(q.reshape(B * H, Nq, d), nq_pad, 1)
+    kf = _pad_to(k.reshape(B * H, Nk, d), nk_pad, 1)
+    vf = _pad_to(v.reshape(B * H, Nk, dv_dim), nk_pad, 1)
+    dof = _pad_to(do.reshape(B * H, Nq, dv_dim), nq_pad, 1)
+    # δ = rowsum(do ⊙ out) — tiny, computed in XLA
+    delta = _pad_to(
+        jnp.sum(
+            do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+        ).reshape(B * H, Nq),
+        nq_pad,
+        1,
+    )
+
+    grid_q = (B * H, nq_pad // block_q)
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_dq_kernel, scale=scale, kv_len=Nk, block_k=block_k,
+            rate=dropout_rate,
+        ),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, dv_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dv_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, nq_pad, d), q.dtype),
+        interpret=interpret,
+    )(seed_arr, qf, kf, vf, dof, lse, delta)
+
+    grid_k = (B * H, nk_pad // block_k)
+    dk, dvv = pl.pallas_call(
+        functools.partial(
+            _flash_dkv_kernel, scale=scale, q_len=Nq, kv_len=Nk,
+            block_q=block_q, rate=dropout_rate,
+        ),
+        grid=grid_k,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nq_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dv_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq_pad, dv_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dv_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, nk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((B * H, nk_pad, dv_dim), v.dtype),
+        ],
+        interpret=interpret,
+    )(seed_arr, qf, kf, vf, dof, lse, delta)
+
+    dq = dq[:, :Nq].reshape(B, H, Nq, d)
+    dk = dk[:, :Nk].reshape(B, H, Nk, d)
+    dvv = dvv[:, :Nk].reshape(B, H, Nk, dv_dim)
+    return dq, dk, dvv, None
+
+
+flash_attention_train.defvjp(_flash_train_fwd, _flash_train_bwd)
+
+
 def reference_attention(q, k, v, scale):
     """Einsum reference used by tests and the training path."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))

@@ -70,3 +70,83 @@ class TestFlashKernelInterpret:
         out = flash_attention(q, k, v, 0.25, block_q=8, block_k=128, interpret=True)
         ref = reference_attention(q, k, v, 0.25)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestFlashTrainInterpret:
+    """Differentiable flash attention (custom-vjp Pallas fwd/bwd) in
+    interpret mode: values + gradients vs the einsum reference, and the
+    in-kernel dropout's determinism/statistics."""
+
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (2, 2, 100, 130, 32, 32),  # unaligned
+            (1, 2, 128, 384, 64, 32),  # conditional-attn-like (2d concat)
+        ],
+    )
+    def test_grads_match_reference(self, rng, shape):
+        from future_od_tpu.ops.flash_attention import flash_attention_train
+
+        B, H, Nq, Nk, d, dv = shape
+        q, k, v = make_qkv(rng, B, H, Nq, Nk, d, dv)
+        scale = 1.0 / np.sqrt(d)
+        cot = jnp.asarray(rng.normal(size=(B, H, Nq, dv)).astype(np.float32))
+
+        def flash_loss(q, k, v):
+            out = flash_attention_train(
+                q, k, v, jnp.int32(0), scale, 0.0, 64, 128, True
+            )
+            return jnp.sum(out * cot)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(reference_attention(q, k, v, scale) * cot)
+
+        val_f, grads_f = jax.value_and_grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+        val_r, grads_r = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(val_f), float(val_r), rtol=1e-4)
+        for gf, gr, name in zip(grads_f, grads_r, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=5e-4, err_msg=f"d{name}"
+            )
+
+    def test_dropout_deterministic_and_unbiased(self, rng):
+        from future_od_tpu.ops.flash_attention import flash_attention_train
+
+        B, H, Nq, Nk, d = 1, 2, 64, 256, 32
+        q, k, v = make_qkv(rng, B, H, Nq, Nk, d, d)
+        scale = 1.0 / np.sqrt(d)
+        args = (q, k, v, jnp.int32(7), scale, 0.5, 64, 128, True)
+        out1 = flash_attention_train(*args)
+        out2 = flash_attention_train(*args)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        # different seed -> different dropout pattern
+        out3 = flash_attention_train(q, k, v, jnp.int32(8), scale, 0.5, 64, 128, True)
+        assert not np.allclose(np.asarray(out1), np.asarray(out3))
+        # dropout expectation ~= undropped output (many keys average out)
+        ref = reference_attention(q, k, v, scale)
+        outs = [
+            np.asarray(
+                flash_attention_train(q, k, v, jnp.int32(s), scale, 0.5, 64, 128, True)
+            )
+            for s in range(8)
+        ]
+        np.testing.assert_allclose(
+            np.mean(outs, axis=0), np.asarray(ref), atol=0.35
+        )
+
+    def test_dropout_grads_finite_and_seeded(self, rng):
+        from future_od_tpu.ops.flash_attention import flash_attention_train
+
+        B, H, Nq, Nk, d = 1, 1, 32, 128, 16
+        q, k, v = make_qkv(rng, B, H, Nq, Nk, d, d)
+
+        def loss(q, seed):
+            out = flash_attention_train(
+                q, k, v, seed, 1.0 / np.sqrt(d), 0.3, 32, 64, True
+            )
+            return jnp.sum(out**2)
+
+        g1 = jax.grad(loss)(q, jnp.int32(3))
+        g2 = jax.grad(loss)(q, jnp.int32(3))
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        assert np.all(np.isfinite(np.asarray(g1)))
