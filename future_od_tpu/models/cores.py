@@ -73,7 +73,7 @@ class SeparateEncoder(nn.Module):
         features = CDetrBackbone(
             self.hidden_dim, self.backbone_name, self.backbone_dilation,
             self.backbone_space_to_depth, name="backbone",
-        )(folded)
+        )(folded, deterministic=deterministic)
         _, h, w, D = features.shape
 
         egodeep = None

@@ -29,6 +29,23 @@ STAGE_BLOCKS = {
 }
 
 
+def fused_resnet_allowed() -> bool:
+    """Whether the fused Pallas backbone kernels may run.
+
+    Opt-in for now (FUTURE_OD_FUSED_RESNET=1): the fused bottleneck is
+    numerically verified on TPU but currently trails the XLA convs
+    (42 vs 34 ms backbone @ b8) — default stays XLA until the kernel wins.
+    """
+    import os
+
+    if os.environ.get("FUTURE_OD_FUSED_RESNET", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with constant statistics and affine (never updated).
 
@@ -39,15 +56,42 @@ class FrozenBatchNorm(nn.Module):
     features: int
     eps: float = 1e-5
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         shape = (self.features,)
-        weight = self.variable("frozen", "weight", jnp.ones, shape).value
-        bias = self.variable("frozen", "bias", jnp.zeros, shape).value
-        mean = self.variable("frozen", "running_mean", jnp.zeros, shape).value
-        var = self.variable("frozen", "running_var", jnp.ones, shape).value
-        scale = weight * jax.lax.rsqrt(var + self.eps)
-        return x * scale + (bias - mean * scale)
+        self._weight = self.variable("frozen", "weight", jnp.ones, shape)
+        self._bias = self.variable("frozen", "bias", jnp.zeros, shape)
+        self._mean = self.variable("frozen", "running_mean", jnp.zeros, shape)
+        self._var = self.variable("frozen", "running_var", jnp.ones, shape)
+
+    def scale_shift(self):
+        """The affine (scale, shift) the BN applies — used to fold it into
+        the preceding conv for the fused kernels."""
+        scale = self._weight.value * jax.lax.rsqrt(self._var.value + self.eps)
+        return scale, self._bias.value - self._mean.value * scale
+
+    def __call__(self, x):
+        scale, shift = self.scale_shift()
+        return x * scale + shift
+
+
+class ConvKernel(nn.Module):
+    """Bare HWIO conv kernel parameter, named like nn.Conv's ({name}/kernel)
+    so checkpoints/ports stay compatible while the forward is free to run the
+    conv through XLA or a fused Pallas kernel."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_init, self.shape)
+
+
+def _conv(x, kernel, strides=(1, 1), padding=((0, 0), (0, 0)), dilation=(1, 1)):
+    dtype = jnp.promote_types(x.dtype, kernel.dtype)
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), strides, list(padding),
+        rhs_dilation=dilation, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 class Bottleneck(nn.Module):
@@ -57,39 +101,64 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    fuse: bool = False  # eligible for the fused Pallas path (layer1)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        p = self.planes
+        cin = x.shape[-1]
+        k1 = ConvKernel((1, 1, cin, p), name="conv1")()
+        bn1 = FrozenBatchNorm(p, name="bn1")
+        k2 = ConvKernel((3, 3, p, p), name="conv2")()
+        bn2 = FrozenBatchNorm(p, name="bn2")
+        k3 = ConvKernel((1, 1, p, 4 * p), name="conv3")()
+        bn3 = FrozenBatchNorm(4 * p, name="bn3")
+        kd = bnd = None
+        if self.downsample:
+            kd = ConvKernel((1, 1, cin, 4 * p), name="downsample_conv")()
+            bnd = FrozenBatchNorm(4 * p, name="downsample_bn")
+
+        use_fused = (
+            self.fuse
+            and deterministic
+            and self.stride == 1
+            and self.dilation == 1
+            and x.shape[1] % 8 == 0
+            and fused_resnet_allowed()
+        )
+        if use_fused:
+            # One Pallas program per row tile: the whole block stays in VMEM
+            # (no gradient defined — inference only; layer1 is frozen in
+            # training anyway, paper.py:102-109).
+            from future_od_tpu.ops.fused_resnet import fused_bottleneck
+
+            s1, t1 = bn1.scale_shift()
+            s2, t2 = bn2.scale_shift()
+            s3, t3 = bn3.scale_shift()
+            args = dict(
+                w1=k1[0, 0] * s1, b1=t1,
+                w2=k2 * s2, b2=t2,
+                w3=k3[0, 0] * s3, b3=t3,
+            )
+            if self.downsample:
+                sd, td = bnd.scale_shift()
+                args.update(wd=kd[0, 0] * sd, bd=td)
+            return fused_bottleneck(x, **args)
+
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=conv_init, name="conv1")(x)
-        out = FrozenBatchNorm(self.planes, name="bn1")(out)
-        out = jax.nn.relu(out)
-        out = nn.Conv(
-            self.planes,
-            (3, 3),
+        out = jax.nn.relu(bn1(_conv(x, k1)))
+        out = _conv(
+            out, k2,
             strides=(self.stride, self.stride),
             padding=[(self.dilation, self.dilation)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            kernel_init=conv_init,
-            name="conv2",
-        )(out)
-        out = FrozenBatchNorm(self.planes, name="bn2")(out)
-        out = jax.nn.relu(out)
-        out = nn.Conv(
-            self.planes * 4, (1, 1), use_bias=False, kernel_init=conv_init, name="conv3"
-        )(out)
-        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+            dilation=(self.dilation, self.dilation),
+        )
+        out = jax.nn.relu(bn2(out))
+        out = bn3(_conv(out, k3))
         if self.downsample:
-            identity = nn.Conv(
-                self.planes * 4,
-                (1, 1),
-                strides=(self.stride, self.stride),
-                use_bias=False,
-                kernel_init=conv_init,
-                name="downsample_conv",
-            )(x)
-            identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(identity)
+            identity = bnd(
+                _conv(x, kd, strides=(self.stride, self.stride))
+            )
         return jax.nn.relu(out + identity)
 
 
@@ -140,22 +209,46 @@ class ResNet(nn.Module):
     use_space_to_depth: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         blocks = STAGE_BLOCKS[self.name_id]
+        # fused stem needs pool rows (H/4) divisible by its 8-row tile.
+        # Opt-in (FUTURE_OD_FUSED_STEM=1): this environment's Mosaic rejects
+        # the kernel's narrow-lane (12-channel) shape casts; the kernel is
+        # interpret-verified and kept for toolchains that can lower it.
+        import os
+
+        fuse_stem = (
+            deterministic
+            and os.environ.get("FUTURE_OD_FUSED_STEM", "0") == "1"
+            and x.shape[1] % 32 == 0
+            and x.shape[2] % 4 == 0
+            and fused_resnet_allowed()
+        )
         if self.use_space_to_depth:
+            k1 = ConvKernel((4, 4, 12, 64), name="conv1")()
             x = space_to_depth(x)
-            x = nn.Conv(
-                64, (4, 4), strides=(1, 1), padding=[(2, 1), (2, 1)], use_bias=False,
-                kernel_init=conv_init, name="conv1",
-            )(x)
+            w4 = k1
         else:
-            x = nn.Conv(
-                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-                kernel_init=conv_init, name="conv1",
-            )(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
-        x = jax.nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+            k1 = ConvKernel((7, 7, 3, 64), name="conv1")()
+            w4 = None
+        bn1 = FrozenBatchNorm(64, name="bn1")
+        if fuse_stem:
+            # conv + BN + ReLU + maxpool in one Pallas kernel over s2d input
+            # (the 3-channel 7x7 conv is the most MXU-hostile op here).
+            from future_od_tpu.ops.fused_resnet import fused_stem
+
+            if w4 is None:
+                x = space_to_depth(x)
+                w4 = stem_weights_to_space_to_depth(k1)
+            s, t = bn1.scale_shift()
+            x = fused_stem(x, w4 * s, t)
+        else:
+            if self.use_space_to_depth:
+                x = _conv(x, k1, padding=[(2, 1), (2, 1)])
+            else:
+                x = _conv(x, k1, strides=(2, 2), padding=[(3, 3), (3, 3)])
+            x = jax.nn.relu(bn1(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         planes = 64
         for stage_idx, num_blocks in enumerate(blocks):
@@ -169,8 +262,9 @@ class ResNet(nn.Module):
                     stride=stride if block_idx == 0 else 1,
                     dilation=dilation,
                     downsample=(block_idx == 0),
+                    fuse=(stage_idx == 0),
                     name=f"layer{stage_idx + 1}_block{block_idx}",
-                )(x)
+                )(x, deterministic=deterministic)
             planes *= 2
         return x
 
@@ -187,10 +281,10 @@ class CDetrBackbone(nn.Module):
     use_space_to_depth: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         features = ResNet(
             self.name_id, self.dilation, self.use_space_to_depth, name="body"
-        )(x)
+        )(x, deterministic=deterministic)
         return nn.Conv(
             self.hidden_dim, (1, 1), kernel_init=conv_init, name="input_proj"
         )(features)
