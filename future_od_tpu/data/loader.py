@@ -100,16 +100,26 @@ class Loader:
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
+                    # Fan out per-SAMPLE (not per-batch) so a single batch's
+                    # JPEG decodes fill every worker; pending holds the
+                    # ordered sample futures of up to prefetch+1 batches.
                     pending = []
                     for idxs in self._batch_indices():
                         if stop.is_set():
                             return
-                        pending.append(pool.submit(self._load_batch, list(idxs)))
-                        # Bound the in-flight work.
+                        pending.append(
+                            [pool.submit(self.dataset.__getitem__, i)
+                             for i in idxs]
+                        )
                         while len(pending) > self.prefetch:
-                            out_q.put(("ok", pending.pop(0).result()))
-                    for fut in pending:
-                        out_q.put(("ok", fut.result()))
+                            futs = pending.pop(0)
+                            out_q.put(
+                                ("ok", self._finish([f.result() for f in futs]))
+                            )
+                    for futs in pending:
+                        out_q.put(
+                            ("ok", self._finish([f.result() for f in futs]))
+                        )
             except Exception as exc:  # propagate into the consumer
                 out_q.put(("err", exc))
             finally:
@@ -129,7 +139,10 @@ class Loader:
             stop.set()
 
     def _load_batch(self, idxs):
-        batch = collate([self.dataset[i] for i in idxs])
+        return self._finish([self.dataset[i] for i in idxs])
+
+    def _finish(self, samples):
+        batch = collate(samples)
         if self.device_put:
             arrays = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
             if self.sharding is not None:

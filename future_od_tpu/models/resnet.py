@@ -30,11 +30,17 @@ STAGE_BLOCKS = {
 
 
 def fused_resnet_allowed() -> bool:
-    """Whether the fused Pallas backbone kernels may run.
+    """Whether the fused Pallas bottleneck kernels may run (opt-in:
+    FUTURE_OD_FUSED_RESNET=1, TPU backends only).
 
-    Opt-in for now (FUTURE_OD_FUSED_RESNET=1): the fused bottleneck is
-    numerically verified on TPU but currently trails the XLA convs
-    (42 vs 34 ms backbone @ b8) — default stays XLA until the kernel wins.
+    Opt-in because measured EMBEDDED, not standalone: the im2col fused
+    bottleneck beats XLA per-block in isolation (6.6 vs 7.9 ms inner block,
+    b12 224x400 bf16) but LOSES inside the full jitted model (full-bench
+    110.5 -> 100.5 clips/s with layer1 fused, -> 106.8 with layer2 fused) —
+    XLA fuses across consecutive bottlenecks in context and the opaque custom
+    calls break those chains without saving additional HBM round-trips. The
+    whole-layer chained kernel that would actually cut traffic SIGKILLs this
+    toolchain's remote Mosaic compiler. Full story: BENCHMARKS.md round 2.
     """
     import os
 
@@ -232,6 +238,18 @@ class ResNet(nn.Module):
             k1 = ConvKernel((7, 7, 3, 64), name="conv1")()
             w4 = None
         bn1 = FrozenBatchNorm(64, name="bn1")
+        # s2d-math stem: even without s2d-format weights, compute the stem as
+        # conv4x4/1 over space-to-depth input (exact reformulation; weights
+        # stay (7,7,3,64)). Opt-in (FUTURE_OD_S2D_STEM=1): wins standalone
+        # (17.5 vs 23.9 ms at b24 896x1600 bf16, tools/bench_stem.py) but the
+        # input transpose costs +64 ms EMBEDDED in the full jitted model
+        # (full-bench 110.5 -> 69.6 clips/s) on this toolchain.
+        s2d_math = (
+            w4 is None
+            and os.environ.get("FUTURE_OD_S2D_STEM", "0") == "1"
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
         if fuse_stem:
             # conv + BN + ReLU + maxpool in one Pallas kernel over s2d input
             # (the 3-channel 7x7 conv is the most MXU-hostile op here).
@@ -245,6 +263,12 @@ class ResNet(nn.Module):
         else:
             if self.use_space_to_depth:
                 x = _conv(x, k1, padding=[(2, 1), (2, 1)])
+            elif s2d_math:
+                x = _conv(
+                    space_to_depth(x),
+                    stem_weights_to_space_to_depth(k1),
+                    padding=[(2, 1), (2, 1)],
+                )
             else:
                 x = _conv(x, k1, strides=(2, 2), padding=[(3, 3), (3, 3)])
             x = jax.nn.relu(bn1(x))
@@ -262,7 +286,13 @@ class ResNet(nn.Module):
                     stride=stride if block_idx == 0 else 1,
                     dilation=dilation,
                     downsample=(block_idx == 0),
-                    fuse=(stage_idx == 0),
+                    # fused Pallas path wins on layer1/layer2 shapes and
+                    # loses on layer3+ (tools/bench_fused_bottleneck.py);
+                    # FUTURE_OD_FUSE_STAGES overrides (e.g. "0" = layer1 only)
+                    fuse=(
+                        str(stage_idx)
+                        in os.environ.get("FUTURE_OD_FUSE_STAGES", "01")
+                    ),
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic=deterministic)
             planes *= 2
