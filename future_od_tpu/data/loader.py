@@ -104,22 +104,30 @@ class Loader:
                     # JPEG decodes fill every worker; pending holds the
                     # ordered sample futures of up to prefetch+1 batches.
                     pending = []
-                    for idxs in self._batch_indices():
-                        if stop.is_set():
-                            return
-                        pending.append(
-                            [pool.submit(self.dataset.__getitem__, i)
-                             for i in idxs]
-                        )
-                        while len(pending) > self.prefetch:
-                            futs = pending.pop(0)
-                            out_q.put(
-                                ("ok", self._finish([f.result() for f in futs]))
-                            )
-                    for futs in pending:
+
+                    def drain(futs):
                         out_q.put(
                             ("ok", self._finish([f.result() for f in futs]))
                         )
+
+                    try:
+                        for idxs in self._batch_indices():
+                            if stop.is_set():
+                                return
+                            pending.append(
+                                [pool.submit(self.dataset.__getitem__, i)
+                                 for i in idxs]
+                            )
+                            while len(pending) > self.prefetch:
+                                drain(pending.pop(0))
+                        while pending and not stop.is_set():
+                            drain(pending.pop(0))
+                    finally:
+                        # early exit (consumer stopped / error): drop queued
+                        # work so the pool shuts down promptly
+                        for futs in pending:
+                            for f in futs:
+                                f.cancel()
             except Exception as exc:  # propagate into the consumer
                 out_q.put(("err", exc))
             finally:
