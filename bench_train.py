@@ -25,7 +25,12 @@ def main():
     from future_od_tpu.train.optimizer import build_optimizer
     from future_od_tpu.train.step import TrainState, make_train_step
 
-    B, L, H, W, N = 32, 3, 448, 800, 256
+    import os as _os
+
+    B = int(_os.environ.get("BENCH_B", 32))
+    H = int(_os.environ.get("BENCH_H", 448))
+    W = int(_os.environ.get("BENCH_W", 800))
+    L, N = 3, 256
     args = SpatioTemporalDETRArgs(num_classes=8, num_queries=128, lr_backbone=1e-4)
     model = build_flagship(args)
 
@@ -73,7 +78,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_clips_per_sec_stage1_b32_448x800"
+                "metric": f"train_clips_per_sec_b{B}_{H}x{W}"
                 + ("_bf16" if mixed else ""),
                 "value": round(B * iters / elapsed, 2),
                 "unit": "clips/sec/chip",

@@ -97,7 +97,13 @@ def attend_heads(
     either direction. Attention-capture and small shapes keep the einsum
     formulation (sow + exact torch-oracle parity).
     """
-    use_flash = not sow_weights and kh.shape[1] >= 256 and flash_allowed()
+    # Thresholds are EMBEDDED full-step measurements, not standalone kernel
+    # wins (BENCHMARKS.md round 2): the custom-vjp train kernels regress the
+    # stage-1 448x800 step (350 keys: 991 -> 1823 ms f32) and only pay off
+    # at full-res key counts, so training keeps the einsum formulation below
+    # 1024 keys while inference dispatches from 256.
+    min_keys = 256 if deterministic else 1024
+    use_flash = not sow_weights and kh.shape[1] >= min_keys and flash_allowed()
     if use_flash:
         if deterministic:
             from future_od_tpu.ops.flash_attention import flash_attention

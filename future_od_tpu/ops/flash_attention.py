@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
+LSE_LANES = 128  # lse/delta rows are lane-broadcast for legal TPU tiling
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, kv_len, block_k):
@@ -195,7 +196,12 @@ def _flash_fwd_kernel(
     row_sum = jnp.zeros((block_q, 1), jnp.float32)
     acc, row_max, row_sum = jax.lax.fori_loop(0, num_kb, body, (acc, row_max, row_sum))
     out_ref[0] = (acc / row_sum).astype(out_ref.dtype)
-    lse_ref[0] = (row_max + jnp.log(row_sum))[:, 0]
+    # lse rows broadcast across a full 128-lane register: TPU block shapes
+    # need the last two dims (sublane, lane)-tiled, so a (1, block_q) row
+    # vector is not addressable — same layout as jax's reference TPU flash.
+    lse_ref[0] = jnp.broadcast_to(
+        row_max + jnp.log(row_sum), (row_sum.shape[0], LSE_LANES)
+    )
 
 
 def _flash_dq_kernel(
@@ -209,8 +215,8 @@ def _flash_dq_kernel(
 
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0][:, 0:1]  # rows lane-broadcast; one lane suffices
+    delta = delta_ref[0][:, 0:1]
 
     def body(kb, dq):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
@@ -257,8 +263,8 @@ def _flash_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), 0:1]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q), 0:1]
         row = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0
         )
@@ -349,11 +355,14 @@ def _flash_train_fwd(q, k, v, seed, scale, dropout_rate, block_q, block_k, inter
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dv_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, block_q, LSE_LANES), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, nq_pad, dv_dim), q.dtype),
-            jax.ShapeDtypeStruct((B * H, nq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, nq_pad, LSE_LANES), jnp.float32),
         ],
         interpret=interpret,
     )(seed_arr, qf, kf, vf)
@@ -371,7 +380,7 @@ def _flash_train_bwd(scale, dropout_rate, block_q, block_k, interpret, res, do):
     kf = _pad_to(k.reshape(B * H, Nk, d), nk_pad, 1)
     vf = _pad_to(v.reshape(B * H, Nk, dv_dim), nk_pad, 1)
     dof = _pad_to(do.reshape(B * H, Nq, dv_dim), nq_pad, 1)
-    # δ = rowsum(do ⊙ out) — tiny, computed in XLA
+    # δ = rowsum(do ⊙ out) — tiny, computed in XLA; lane-broadcast like lse
     delta = _pad_to(
         jnp.sum(
             do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
@@ -379,6 +388,7 @@ def _flash_train_bwd(scale, dropout_rate, block_q, block_k, interpret, res, do):
         nq_pad,
         1,
     )
+    delta = jnp.broadcast_to(delta[..., None], (B * H, nq_pad, LSE_LANES))
 
     grid_q = (B * H, nq_pad // block_q)
     dq = pl.pallas_call(
@@ -393,8 +403,8 @@ def _flash_train_bwd(scale, dropout_rate, block_q, block_k, interpret, res, do):
             pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, dv_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dv_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LSE_LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LSE_LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -416,8 +426,8 @@ def _flash_train_bwd(scale, dropout_rate, block_q, block_k, interpret, res, do):
             pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, dv_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nq_pad, dv_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq_pad, LSE_LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq_pad, LSE_LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),

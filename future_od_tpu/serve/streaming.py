@@ -1,0 +1,142 @@
+"""Streaming (serving-mode) inference with a per-frame feature cache.
+
+In the flagship architecture every stage before the recurrent decoder —
+backbone, IMU MLP, 6-layer per-frame encoder with egodeep — is a pure
+per-frame function (SeparateEncoder processes the folded B·L batch;
+reference paper.py:119-170; no joint encoder in any reference run config,
+runs/_model.py). In a video stream, consecutive clips overlap in all but
+one frame, so a server can cache each frame's encoded features and run the
+heavy per-frame stack ONCE per frame instead of once per clip:
+
+  batch eval:  clip (f_{t-1}, f_t)    -> encode 2 frames + decode
+  streaming:   new frame f_t arrives  -> encode 1 frame  + decode
+
+Outputs are numerically identical to the 2-frame batch path (tests/
+test_streaming.py asserts equality to 1e-5; the only deltas are XLA
+  reassociation across fold shapes): the cached tensors are the tensors the batch
+path would recompute, and the temporal position encoding — the only
+offset-dependent piece — is recomputed per clip.
+
+This is a TPU-native extension beyond the reference (which re-runs the
+full clip every time, future_od/models/paper.py:432-485); the eval
+protocol/AP is unchanged.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from future_od_tpu.models.st_detr import normalize_outputs, post_process
+
+
+def make_streaming_fns(
+    model, clip_frames: int = 3, image_hw: Optional[Tuple[int, int]] = None
+) -> Tuple[Callable, Callable]:
+    """Build (encode_frame, detect_window) for a SpatioTemporalDETR whose
+    core is a FuturePredCore-style (separate_encoder, detector) pair.
+
+    clip_frames: L of the batch-eval clip this emulates (the decoder
+    consumes clip_frames - 1 past frames; the future frame exists only as
+    a shape in post-processing).
+
+    encode_frame(variables, frame) -> (features, egodeep)
+        frame: {"video": (B, H, W, 3), imu keys: (B, d)} — ONE frame.
+    detect_window(variables, features, egodeep, temporal_offsets)
+        features: (B, L-1, h, w, D) cached window; temporal_offsets
+        (B, L-1) is ignored unless the model was built with encode_offset.
+        Returns the post-processed output dict of the batch path.
+    """
+    imu_keys = model.args.imu_keys()
+    encode_offset = model.args.encode_offset
+
+    def _imu(frame: Dict[str, jnp.ndarray]) -> Optional[jnp.ndarray]:
+        if frame.get("translation") is None:
+            return None
+        return jnp.concatenate([frame[k] for k in imu_keys], axis=1)
+
+    def _encode(mdl, images, imu):
+        return mdl.core.separate_encoder(images, imu, True)
+
+    def encode_frame(variables, frame):
+        images = frame["video"][:, None]  # (B, 1, H, W, 3)
+        imu = _imu(frame)
+        feats, ego = model.apply(
+            variables, images, imu[:, None] if imu is not None else None,
+            method=_encode,
+        )
+        return feats[:, 0], (ego[:, 0] if ego is not None else None)
+
+    def _detect(mdl, features, egodeep, temporal_offsets):
+        core = mdl.core
+        pos = core._pos_enc(
+            features, temporal_offsets if encode_offset else None
+        )
+        return core.detector(features, pos, egodeep, True)
+
+    def detect_window(variables, features, egodeep, temporal_offsets=None):
+        B, _, h, w, _ = features.shape
+        out = model.apply(
+            variables, features, egodeep, temporal_offsets, method=_detect
+        )
+        # post_process reads only SHAPES from data["video"] (pixel scale +
+        # frame count); the zeros stand-in is dead code under jit.
+        H, W = image_hw if image_hw is not None else (h * 32, w * 32)
+        data = {"video": jnp.zeros((B, clip_frames, H, W, 3), features.dtype)}
+        _, pred_logits, pred_boxes = normalize_outputs(out, data)
+        output, _, _ = post_process(pred_logits, pred_boxes, data)
+        return output
+
+    return encode_frame, detect_window
+
+
+class StreamingSession:
+    """Stateful per-stream server loop: feed frames, get per-clip outputs.
+
+    Keeps the last `clip_frames - 1` encoded frames on device. Each
+    `step(frame)` encodes ONE new frame and, once the window is full,
+    decodes — equal to batch inference on the clip ending at this frame.
+    """
+
+    def __init__(self, model, variables, clip_frames: int = 3, jit: bool = True):
+        self.window = clip_frames - 1
+        self.variables = variables
+        self._model = model
+        self._clip_frames = clip_frames
+        self._jit = jit
+        self.encode = self.detect = None  # built on first frame (needs H, W)
+        self._frames = []  # [(features, egodeep, offset)]
+
+    def reset(self) -> None:
+        self._frames = []
+
+    def _build(self, image_hw) -> None:
+        encode, detect = make_streaming_fns(
+            self._model, self._clip_frames, image_hw
+        )
+        self.encode = jax.jit(encode) if self._jit else encode
+        self.detect = jax.jit(detect) if self._jit else detect
+
+    def step(
+        self,
+        frame: Dict[str, jnp.ndarray],
+        temporal_offset: float = 0.0,
+    ) -> Optional[Dict[str, jnp.ndarray]]:
+        if self.encode is None:
+            self._build(tuple(frame["video"].shape[1:3]))
+        feats, ego = self.encode(self.variables, frame)
+        self._frames.append((feats, ego, temporal_offset))
+        self._frames = self._frames[-self.window :]
+        if len(self._frames) < self.window:
+            return None
+        features = jnp.stack([f for f, _, _ in self._frames], axis=1)
+        egos = [e for _, e, _ in self._frames]
+        egodeep = None if egos[0] is None else jnp.stack(egos, axis=1)
+        offsets = jnp.broadcast_to(
+            jnp.asarray(
+                [o for _, _, o in self._frames], features.dtype
+            )[None],
+            (features.shape[0], self.window),
+        )
+        return self.detect(self.variables, features, egodeep, offsets)
