@@ -97,13 +97,24 @@ def attend_heads(
     either direction. Attention-capture and small shapes keep the einsum
     formulation (sow + exact torch-oracle parity).
     """
-    # Thresholds are EMBEDDED full-step measurements, not standalone kernel
-    # wins (BENCHMARKS.md round 2): the custom-vjp train kernels regress the
-    # stage-1 448x800 step (350 keys: 991 -> 1823 ms f32) and only pay off
-    # at full-res key counts, so training keeps the einsum formulation below
-    # 1024 keys while inference dispatches from 256.
-    min_keys = 256 if deterministic else 1024
-    use_flash = not sow_weights and kh.shape[1] >= min_keys and flash_allowed()
+    # Gates are EMBEDDED full-step measurements, not standalone kernel wins
+    # (BENCHMARKS.md round 2). Inference flash from 256 keys: +17% full-model
+    # throughput at the 1400-token eval shape. The custom-vjp TRAIN kernels
+    # lose embedded at every measured shape (stage-1 350 keys: 991 -> 1823 ms
+    # f32; stage-2 1400 keys: 609 -> 693 ms bf16) — XLA's fused einsum
+    # attention wins on this toolchain — so the train path is opt-in
+    # (FUTURE_OD_TRAIN_FLASH=1) for toolchains where it pays.
+    import os
+
+    if deterministic:
+        use_flash = kh.shape[1] >= 256 and flash_allowed()
+    else:
+        use_flash = (
+            os.environ.get("FUTURE_OD_TRAIN_FLASH", "0") == "1"
+            and kh.shape[1] >= 256
+            and flash_allowed()
+        )
+    use_flash = use_flash and not sow_weights
     if use_flash:
         if deterministic:
             from future_od_tpu.ops.flash_attention import flash_attention
