@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 A100_BASELINE_CLIPS_PER_SEC = 40.0  # documented estimate, see module docstring
 
-BATCH = 12
+import os as _os
+
+BATCH = int(_os.environ.get("BENCH_BATCH", 12))  # headline stays b12
 HEIGHT, WIDTH = 896, 1600
 FRAMES = 3  # model drops the last (future) frame -> 2 past frames consumed
 
@@ -88,7 +90,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "clips_per_sec_per_chip_2frame_500ms_infer_b12_896x1600",
+                "metric": (
+                    f"clips_per_sec_per_chip_2frame_500ms_infer_b{BATCH}_896x1600"
+                ),
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),

@@ -29,7 +29,8 @@ def main():
     from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
     from future_od_tpu.serve import StreamingSession
 
-    B, H, W = 12, 896, 1600
+    B = int(os.environ.get("BENCH_BATCH", 12))
+    H, W = 896, 1600
     args = SpatioTemporalDETRArgs(
         num_classes=8, num_queries=128, lr_backbone=1e-4
     )
@@ -88,7 +89,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "clips_per_sec_per_chip_streaming_b12_896x1600",
+                "metric": f"clips_per_sec_per_chip_streaming_b{B}_896x1600",
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / 40.0, 3),
