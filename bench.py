@@ -29,7 +29,8 @@ A100_BASELINE_CLIPS_PER_SEC = 40.0  # documented estimate, see module docstring
 import os as _os
 
 BATCH = int(_os.environ.get("BENCH_BATCH", 12))  # headline stays b12
-HEIGHT, WIDTH = 896, 1600
+HEIGHT = int(_os.environ.get("BENCH_H", 896))
+WIDTH = int(_os.environ.get("BENCH_W", 1600))
 FRAMES = 3  # model drops the last (future) frame -> 2 past frames consumed
 
 
@@ -91,7 +92,8 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"clips_per_sec_per_chip_2frame_500ms_infer_b{BATCH}_896x1600"
+                    "clips_per_sec_per_chip_2frame_500ms_infer"
+                    f"_b{BATCH}_{HEIGHT}x{WIDTH}"
                 ),
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec/chip",

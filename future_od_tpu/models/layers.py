@@ -98,16 +98,17 @@ def attend_heads(
     formulation (sow + exact torch-oracle parity).
     """
     # Gates are EMBEDDED full-step measurements, not standalone kernel wins
-    # (BENCHMARKS.md round 2). Inference flash from 256 keys: +17% full-model
-    # throughput at the 1400-token eval shape. The custom-vjp TRAIN kernels
-    # lose embedded at every measured shape (stage-1 350 keys: 991 -> 1823 ms
-    # f32; stage-2 1400 keys: 609 -> 693 ms bf16) — XLA's fused einsum
-    # attention wins on this toolchain — so the train path is opt-in
-    # (FUTURE_OD_TRAIN_FLASH=1) for toolchains where it pays.
+    # (BENCHMARKS.md round 2). Inference flash wins at full-res key counts
+    # (+17% full-model throughput at 1400 keys) but LOSES at 448x800's 350
+    # keys (516 -> 483 clips/s) — threshold 1024. The custom-vjp TRAIN
+    # kernels lose embedded at every measured shape (stage-1 350 keys:
+    # 991 -> 1823 ms f32; stage-2 1400 keys: 609 -> 693 ms bf16) — XLA's
+    # fused einsum attention wins on this toolchain — so the train path is
+    # opt-in (FUTURE_OD_TRAIN_FLASH=1) for toolchains where it pays.
     import os
 
     if deterministic:
-        use_flash = kh.shape[1] >= 256 and flash_allowed()
+        use_flash = kh.shape[1] >= 1024 and flash_allowed()
     else:
         use_flash = (
             os.environ.get("FUTURE_OD_TRAIN_FLASH", "0") == "1"

@@ -99,12 +99,24 @@ class StreamingSession:
     decodes — equal to batch inference on the clip ending at this frame.
     """
 
-    def __init__(self, model, variables, clip_frames: int = 3, jit: bool = True):
+    def __init__(
+        self,
+        model,
+        variables,
+        clip_frames: int = 3,
+        jit: bool = True,
+        input_sharding=None,
+    ):
+        """input_sharding: optional jax sharding for incoming frame arrays
+        (e.g. NamedSharding(mesh, P("data")) to serve data-parallel across a
+        chip mesh — params should already be replicated/sharded by the
+        caller; GSPMD propagates the rest through encode/detect)."""
         self.window = clip_frames - 1
         self.variables = variables
         self._model = model
         self._clip_frames = clip_frames
         self._jit = jit
+        self._input_sharding = input_sharding
         self.encode = self.detect = None  # built on first frame (needs H, W)
         self._frames = []  # [(features, egodeep, offset)]
 
@@ -125,6 +137,11 @@ class StreamingSession:
     ) -> Optional[Dict[str, jnp.ndarray]]:
         if self.encode is None:
             self._build(tuple(frame["video"].shape[1:3]))
+        if self._input_sharding is not None:
+            frame = jax.device_put(
+                frame,
+                jax.tree.map(lambda _: self._input_sharding, frame),
+            )
         feats, ego = self.encode(self.variables, frame)
         self._frames.append((feats, ego, temporal_offset))
         self._frames = self._frames[-self.window :]

@@ -84,6 +84,54 @@ def test_streaming_matches_batch_infer(encode_offset):
     )
 
 
+def test_streaming_sharded_dp_mesh():
+    """Streaming serving over a data-parallel device mesh: frames sharded on
+    the batch axis, outputs equal the single-device session."""
+    from future_od_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+
+    rng = np.random.default_rng(2)
+    B, L, H, W = 8, 3, 64, 96
+    args = tiny_args()
+    model = build_flagship(args)
+    data = make_data(rng, B, L, H, W)
+    variables = model.init(
+        {"params": jax.random.key(0)}, data, deterministic=True
+    )
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    sharded_vars = jax.device_put(
+        variables, jax.tree.map(lambda _: replicate(mesh), variables)
+    )
+
+    def run(session):
+        out = None
+        for t in range(L - 1):
+            frame = {
+                "video": data["video"][:, t],
+                **{
+                    k: data[k][:, t]
+                    for k in (
+                        "translation", "acceleration", "rotation",
+                        "rotation_rate", "speed",
+                    )
+                },
+            }
+            out = session.step(frame)
+        return out
+
+    ref = run(StreamingSession(model, variables, clip_frames=L))
+    out = run(
+        StreamingSession(
+            model, sharded_vars, clip_frames=L,
+            input_sharding=batch_sharding(mesh),
+        )
+    )
+    assert len(out["boxes"].sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"]), np.asarray(ref["boxes"]), rtol=0, atol=1e-5
+    )
+
+
 def test_streaming_window_slides():
     """4-frame stream -> outputs at t=1,2,3; each equals batch infer on the
     matching 3-frame clip."""
