@@ -35,11 +35,17 @@ def main():
     model = build_flagship(args)
 
     rng = np.random.default_rng(0)
-    boxes_wh = np.abs(rng.normal(size=(B, N, 4))).astype(np.float32) * 40
+    # Scene-like targets: centers scattered over the image, log-normal sizes.
+    # (Earlier versions piled every box within ~40 px of the origin, which
+    # drove the auction into pathological price wars — 260 bidding rounds vs
+    # ~25 on real data — and overstated the matcher's share of the step.)
+    cxy = rng.uniform(0.05, 0.95, size=(B, N, 2)).astype(np.float32) * [W, H]
+    wh = np.exp(rng.normal(4.0, 0.6, size=(B, N, 2))).astype(np.float32)
+    wh = np.clip(wh, 8, [W * 0.5, H * 0.5])
     data = {
         "video": jnp.asarray(rng.normal(size=(B, L, H, W, 3)).astype(np.float32)),
         "boxes": jnp.asarray(
-            np.concatenate([boxes_wh[..., :2], boxes_wh[..., :2] + boxes_wh[..., 2:]], -1)
+            np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
         ),
         "classes": jnp.asarray(rng.integers(0, 8, size=(B, N))),
         "active": jnp.asarray((rng.uniform(size=(B, N)) < 0.1).astype(np.int64)),

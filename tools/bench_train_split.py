@@ -1,0 +1,125 @@
+"""Train-step cost decomposition at the stage-1 config (b32 448x800 bf16).
+
+Times four nested programs to locate where the 835 ms step goes:
+  infer    deterministic forward + postproc (no loss)
+  fwdloss  training forward + matcher + criterion (no grad)
+  grad     value_and_grad of fwdloss
+  step     full train step (grad + AdamW + mAP prep)
+
+Run on TPU: python tools/bench_train_split.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, iters=5, warmup=1):
+    for _ in range(warmup):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+def main():
+    from future_od_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from future_od_tpu.models.build import build_flagship
+    from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+    from future_od_tpu.train.optimizer import build_optimizer
+    from future_od_tpu.train.step import (
+        TrainState,
+        _forward_and_loss,
+        _to_half,
+        make_inference_fn,
+        make_train_step,
+    )
+
+    B, L, H, W, N = 32, 3, 448, 800, 256
+    args = SpatioTemporalDETRArgs(
+        num_classes=8, num_queries=128, lr_backbone=1e-4
+    )
+    model = build_flagship(args)
+    rng = np.random.default_rng(0)
+    boxes_wh = np.abs(rng.normal(size=(B, N, 4))).astype(np.float32) * 40
+    data = {
+        "video": jnp.asarray(
+            rng.normal(size=(B, L, H, W, 3)).astype(np.float32)
+        ),
+        "boxes": jnp.asarray(
+            np.concatenate(
+                [boxes_wh[..., :2], boxes_wh[..., :2] + boxes_wh[..., 2:]], -1
+            )
+        ),
+        "classes": jnp.asarray(rng.integers(0, 8, size=(B, N))),
+        "active": jnp.asarray(
+            (rng.uniform(size=(B, N)) < 0.1).astype(np.int64)
+        ),
+        "annotated_frame_idx": jnp.asarray([L - 1] * B),
+    }
+    for key, d in [
+        ("translation", 3), ("acceleration", 3), ("rotation", 4),
+        ("rotation_rate", 3), ("speed", 1),
+    ]:
+        data[key] = jnp.asarray(
+            rng.normal(size=(B, L, d)).astype(np.float32)
+        )
+
+    variables = jax.jit(
+        lambda k: model.init({"params": k}, data, deterministic=True)
+    )(jax.random.key(0))
+    tx, opt_state = build_optimizer(
+        variables["params"], lr=args.lr, lr_backbone=args.lr_backbone,
+        weight_decay=args.weight_decay, max_norm=args.max_norm,
+    )
+    state = TrainState(
+        variables["params"], variables["frozen"], opt_state, jnp.int32(0)
+    )
+    ccfg = args.criterion_config()
+    key = jax.random.key(1)
+    bf = jnp.bfloat16
+    data_h = dict(data)
+    data_h["video"] = data["video"].astype(bf)
+    params_h = _to_half(state.params, bf)
+    frozen_h = _to_half(state.frozen, bf)
+
+    infer = jax.jit(make_inference_fn(model))
+    vars_h = {"params": params_h, "frozen": frozen_h}
+    print(f"  infer (det fwd+postproc)  {timed(infer, vars_h, data_h):8.1f} ms",
+          flush=True)
+
+    def fwdloss(p):
+        return _forward_and_loss(
+            model, ccfg, _to_half(p, bf), frozen_h, data_h,
+            deterministic=False, dropout_rng=key,
+        )
+
+    jfwd = jax.jit(lambda p: fwdloss(p)[0])
+    print(f"  train fwd + matcher+loss  {timed(jfwd, state.params):8.1f} ms",
+          flush=True)
+
+    jgrad = jax.jit(
+        lambda p: jax.value_and_grad(fwdloss, has_aux=True)(p)[0][0]
+    )
+    print(f"  + backward (grads)        {timed(jgrad, state.params):8.1f} ms",
+          flush=True)
+
+    step = jax.jit(make_train_step(model, ccfg, tx, mixed_precision=True))
+    t = timed(step, state, data, key)
+    print(f"  full step                 {t:8.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
