@@ -117,38 +117,63 @@ class NuImagesDataset:
         self.samples = []
         self._init_data(night, front_camera_only)
 
-    def _init_data(self, night: bool, front_camera_only: bool):
-        # nu_images.py:113-150: index annotations, filter night/camera, keep
-        # only samples with the full 13-frame context around the keyframe.
-        skip_counter = 0
-        for o in self.nuimages.object_ann:
-            if o["category_token"] not in DISCARD_CATEGORY_TOKENS:
-                self.object_anns_dict[o["sample_data_token"]].append(o)
+    def _night_log_tokens(self):
+        # The logfile name encodes the local capture hour in its fifth dash
+        # field (e.g. "n008-2018-08-01-12-00-00" -> 12); night mode keeps only
+        # logs whose hour falls outside the 06..18 daytime window (behavioral
+        # contract of /root/reference/future_od/datasets/nu_images.py:121-127).
+        night = set()
+        for log in self.nuimages.log:
+            hour = int(log["logfile"].split("-")[4])
+            if not 6 < hour < 18:
+                night.add(log["token"])
+        return night
 
-        sensors = {s["token"]: s for s in self.nuimages.sensor}
-        cs_to_s = {
-            cs["token"]: cs["sensor_token"] for cs in self.nuimages.calibrated_sensor
+    def _front_camera_cs_tokens(self):
+        # calibrated_sensor -> sensor join reduced to a membership set, so the
+        # per-sample camera check is a single `in`.
+        front_sensors = {
+            s["token"] for s in self.nuimages.sensor if s["channel"] == "CAM_FRONT"
         }
-        log_to_file = {log["token"]: log["logfile"] for log in self.nuimages.log}
+        return {
+            cs["token"]
+            for cs in self.nuimages.calibrated_sensor
+            if cs["sensor_token"] in front_sensors
+        }
+
+    def _init_data(self, night: bool, front_camera_only: bool):
+        """Index annotations by frame and select usable clips.
+
+        Selection contract (/root/reference/future_od/datasets/nu_images.py:
+        109-146): optional night-hours and front-camera restrictions, plus a
+        full 13-frame context with the annotated keyframe dead-center; a
+        skipped-sample count is printed for data-integrity visibility.
+        """
+        for ann in self.nuimages.object_ann:
+            if ann["category_token"] not in DISCARD_CATEGORY_TOKENS:
+                self.object_anns_dict[ann["sample_data_token"]].append(ann)
+
+        night_logs = self._night_log_tokens() if night else None
+        front_cs = self._front_camera_cs_tokens() if front_camera_only else None
 
         for sample in self.nuimages.sample:
-            skip_counter += 1
-            if night:
-                hour = int(log_to_file[sample["log_token"]].split("-")[4])
-                if 6 < hour < 18:
-                    continue
-            if front_camera_only:
-                sd = self.nuimages.get("sample_data", sample["key_camera_token"])
-                sensor = sensors[cs_to_s[sd["calibrated_sensor_token"]]]
-                if sensor["channel"] != "CAM_FRONT":
+            if night_logs is not None and sample["log_token"] not in night_logs:
+                continue
+            if front_cs is not None:
+                key_sd = self.nuimages.get("sample_data", sample["key_camera_token"])
+                if key_sd["calibrated_sensor_token"] not in front_cs:
                     continue
             sd_tokens = self.nuimages.get_sample_content(sample["token"])
-            if len(sd_tokens) != 13 or sd_tokens[6] != sample["key_camera_token"]:
-                continue
-            skip_counter -= 1
-            self.samples.append((sample, sd_tokens))
-        if skip_counter:
-            print(f"skipped {skip_counter} samples")
+            full_clip = (
+                len(sd_tokens) == 13
+                and sd_tokens[ANNOTATED_FRAME] == sample["key_camera_token"]
+            )
+            if full_clip:
+                self.samples.append((sample, sd_tokens))
+
+        num_skipped = len(self.nuimages.sample) - len(self.samples)
+        if num_skipped:
+            print(f"skipped {num_skipped} samples")
 
     def __len__(self):
         return len(self.samples)
@@ -169,23 +194,30 @@ class NuImagesDataset:
             )
         return remap_and_normalize(np.stack(frames))
 
+    # ego_pose fields stacked into IMU columns, with their vector widths
+    # (speed is a scalar per pose and becomes an (L, 1) column).
+    POSE_FIELDS = (
+        ("translation", 3),
+        ("acceleration", 3),
+        ("rotation", 4),
+        ("rotation_rate", 3),
+        ("speed", 1),
+    )
+
     def _get_imu(self, sd_tokens, frame_ids):
-        L = len(frame_ids)
-        translation = np.empty((L, 3), np.float32)
-        acceleration = np.empty((L, 3), np.float32)
-        rotation = np.empty((L, 4), np.float32)
-        rotation_rate = np.empty((L, 3), np.float32)
-        speed = np.empty((L, 1), np.float32)
-        for l, fi in enumerate(frame_ids):
+        """Column-stacked ego_pose IMU; translation/rotation are re-expressed
+        relative to the first selected frame (behavioral contract of
+        /root/reference/future_od/datasets/nu_images.py:176-202)."""
+        poses = []
+        for fi in frame_ids:
             sd = self.nuimages.get("sample_data", sd_tokens[fi])
-            pose = self.nuimages.get("ego_pose", sd["ego_pose_token"])
-            translation[l] = pose["translation"]
-            acceleration[l] = pose["acceleration"]
-            rotation[l] = pose["rotation"]
-            rotation_rate[l] = pose["rotation_rate"]
-            speed[l] = pose["speed"]
-        translation, rotation = relative_pose(translation, rotation)
-        return translation, acceleration, rotation, rotation_rate, speed
+            poses.append(self.nuimages.get("ego_pose", sd["ego_pose_token"]))
+        cols = {
+            name: np.asarray([p[name] for p in poses], np.float32).reshape(-1, dim)
+            for name, dim in self.POSE_FIELDS
+        }
+        translation, rotation = relative_pose(cols["translation"], cols["rotation"])
+        return translation, cols["acceleration"], rotation, cols["rotation_rate"], cols["speed"]
 
     def __getitem__(self, idx):
         sample, sd_tokens = self.samples[idx]

@@ -342,6 +342,9 @@ class Trainer:
             np.stack(od_map_stuff_lst[3], axis=2),
         )
         self._last_ap = ap
+        if not hasattr(self, "_ap_by_mode"):
+            self._ap_by_mode = {}
+        self._ap_by_mode[mode] = ap
         print("AP50 for epoch is:", " ".join(f"{v:.3f}" for v in ap["all"][0, :, 0]))
         print("MAP for epoch is:", " ".join(f"{v:.3f}" for v in ap["threshavg"][:, 0]))
         for size_idx, size in [(1, "small"), (2, "medium"), (3, "large")]:
