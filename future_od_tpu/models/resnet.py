@@ -281,10 +281,14 @@ class ResNet(nn.Module):
             if stage_idx == 3 and self.dilation:
                 stride, dilation = 1, 2
             for block_idx in range(num_blocks):
+                # torchvision semantics: when a stage is dilated, its first
+                # block still runs at the PREVIOUS dilation (1) — only
+                # subsequent blocks use the increased rate (torchvision
+                # resnet._make_layer's previous_dilation argument).
                 x = Bottleneck(
                     planes=planes,
                     stride=stride if block_idx == 0 else 1,
-                    dilation=dilation,
+                    dilation=1 if block_idx == 0 else dilation,
                     downsample=(block_idx == 0),
                     # fused Pallas path wins on layer1/layer2 shapes and
                     # loses on layer3+ (tools/bench_fused_bottleneck.py);
