@@ -132,13 +132,19 @@ def attend_heads(
             from future_od_tpu.ops.flash_attention import flash_attention_train
 
             rate = float(dropout_rate)
-            if rate > 0.0 and module is not None:
+            if rate > 0.0:
+                # the einsum path would fail loudly on the missing dropout
+                # rng; don't silently train without attention dropout here
+                assert module is not None, (
+                    "train-flash attention with dropout_rate>0 needs the "
+                    "calling module for make_rng('dropout')"
+                )
                 rng = module.make_rng("dropout")
                 seed = jax.random.randint(
                     rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
                 )
             else:
-                rate, seed = 0.0, jnp.int32(0)
+                seed = jnp.int32(0)
             out = flash_attention_train(
                 qh.transpose(0, 2, 1, 3),
                 kh.transpose(0, 2, 1, 3),

@@ -178,6 +178,17 @@ def compute_loss(
     targets = to_detr_targets(
         H, W, data["active"], data["boxes"], data["classes"]
     )
+    if criterion_cfg.masks:
+        # Mask targets are not derivable from boxes; the batch must carry
+        # them in the same dense slot layout. Fail loudly rather than let
+        # _mask_losses KeyError inside jit (ADVICE r2).
+        if "masks" not in data:
+            raise ValueError(
+                "criterion_cfg.masks=True requires dense mask targets in the "
+                "batch: data['masks'] with shape (B, N, H, W) aligned to the "
+                "boxes/classes slots (no bundled dataset emits them)"
+            )
+        targets = {**targets, "masks": data["masks"]}
     losses = set_criterion(annotated_output, targets, criterion_cfg, pred_idx_all)
     num_aux = len(annotated_output.get("aux_outputs", []))
     total, weights = weighted_total(losses, criterion_cfg, num_aux)

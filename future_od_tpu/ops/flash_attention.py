@@ -144,9 +144,12 @@ def _dropout_mask(seed_ref, bh, row0, col0, shape, rate, nq_pad, nk_pad):
     """Deterministic dropout keep-mask for the tile whose global top-left
     element is (bh, row0, col0), scaled by 1/keep. PCG-style output hash over
     the element's flat index XOR seed (wrapping uint32 arithmetic)."""
-    row = row0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    col = col0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    idx = ((bh * nq_pad + row) * nk_pad + col).astype(jnp.uint32)
+    # flat index built in uint32 from the start: at int32 the multiply-adds
+    # wrap once B*H*nq_pad*nk_pad exceeds 2^31, correlating dropout bits
+    # across distant positions (ADVICE r2)
+    row = (row0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)).astype(jnp.uint32)
+    col = (col0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)).astype(jnp.uint32)
+    idx = (bh.astype(jnp.uint32) * jnp.uint32(nq_pad) + row) * jnp.uint32(nk_pad) + col
     x = idx ^ (seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
     w = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(277803737)

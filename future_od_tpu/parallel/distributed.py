@@ -47,10 +47,37 @@ def distributed_config(
     coord = getattr(args, "dist_coordinator", None)
     nproc = getattr(args, "dist_num_processes", None)
     pid = getattr(args, "dist_process_id", None)
-    if coord and nproc:
+    if coord == "auto":
+        # handled by maybe_initialize_distributed (argument-less initialize)
+        return None
+    if coord or nproc or pid is not None:
+        # A partial flag set must not silently fall through to env/SLURM/
+        # single-process (ADVICE r2), and on a multi-process run every host
+        # defaulting to rank 0 would be a silent split-brain.
+        if not (coord and nproc):
+            raise ValueError(
+                "partial distributed flags: --dist_coordinator and "
+                "--dist_num_processes must be given together"
+                + (" (got only --dist_process_id)" if pid is not None and not coord else "")
+            )
+        if int(nproc) > 1 and pid is None:
+            raise ValueError(
+                "--dist_num_processes > 1 requires an explicit "
+                "--dist_process_id (defaulting every host to rank 0 would "
+                "split-brain the job)"
+            )
         return DistConfig(coord, int(nproc), int(pid or 0))
 
-    if env.get("COORDINATOR_ADDRESS") and env.get("NUM_PROCESSES"):
+    if env.get("COORDINATOR_ADDRESS") or env.get("NUM_PROCESSES"):
+        if not (env.get("COORDINATOR_ADDRESS") and env.get("NUM_PROCESSES")):
+            raise ValueError(
+                "partial distributed env: COORDINATOR_ADDRESS and "
+                "NUM_PROCESSES must be set together"
+            )
+        if int(env["NUM_PROCESSES"]) > 1 and "PROCESS_ID" not in env:
+            raise ValueError(
+                "NUM_PROCESSES > 1 requires an explicit PROCESS_ID env var"
+            )
         return DistConfig(
             env["COORDINATOR_ADDRESS"],
             int(env["NUM_PROCESSES"]),

@@ -230,7 +230,9 @@ def make_eval_step(model, criterion_cfg: CriterionConfig) -> Callable:
     return eval_step
 
 
-def make_tracker_eval_step(model, criterion_cfg: CriterionConfig, tracker) -> Callable:
+def make_tracker_eval_step(
+    model, criterion_cfg: CriterionConfig, tracker, host_matched: bool = False,
+) -> Callable:
     """Eval step for `TrackerBaselineCore` at L>=2 (paper.py:689-703).
 
     The non-learned tracker's LAP assignment is host-bound (the reference also
@@ -238,6 +240,12 @@ def make_tracker_eval_step(model, criterion_cfg: CriterionConfig, tracker) -> Ca
     jitted halves around it: detect (model apply -> per-frame predictions) and
     finish (loss + post-proc + mAP intermediaries on the extrapolated future
     prediction). Signature matches make_eval_step's product.
+
+    host_matched: with matcher="hungarian" on callback-less backends (axon),
+    the criterion's in-jit exact solver (jax.pure_callback) is unavailable, so
+    finish() itself splits around a host C++ JV solve: jitted matching costs
+    on the tracker prediction -> host solve -> jitted loss with the solved
+    indices — the tracker analogue of make_host_matched_steps.
     """
     import numpy as np
 
@@ -254,11 +262,34 @@ def make_tracker_eval_step(model, criterion_cfg: CriterionConfig, tracker) -> Ca
         ]
 
     @jax.jit
-    def finish(pred, data):
+    def finish(pred, data, pred_idx_all=None):
         annotated, pred_logits, pred_boxes = normalize_outputs(pred, data)
-        loss, stats = compute_loss(annotated, data, criterion_cfg)
+        loss, stats = compute_loss(annotated, data, criterion_cfg, pred_idx_all)
         output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
         return loss, stats, od_map_stuffs, output
+
+    if host_matched:
+        from future_od_tpu.models.set_criterion import matching_costs_all
+        from future_od_tpu.ops.matching import _hungarian_host
+        from future_od_tpu.ops.target_utils import to_detr_targets
+
+        @jax.jit
+        def tracker_costs(pred, data):
+            annotated, _, _ = normalize_outputs(pred, data)
+            H, W = data["video"].shape[2], data["video"].shape[3]
+            targets = to_detr_targets(
+                H, W, data["active"], data["boxes"], data["classes"]
+            )
+            return matching_costs_all(annotated, targets, criterion_cfg)
+
+        def solve_idx(future, data):
+            costs, active = tracker_costs(future, data)
+            idx = _hungarian_host(
+                np.asarray(costs, np.float32), np.asarray(active, bool)
+            )
+            return jnp.asarray(
+                idx.reshape(-1, data["active"].shape[0], idx.shape[-1])
+            )
 
     def eval_step(state: TrainState, data: Dict[str, jnp.ndarray]):
         preds = detect(state, data)
@@ -268,6 +299,8 @@ def make_tracker_eval_step(model, criterion_cfg: CriterionConfig, tracker) -> Ca
             p0, p1, None if offsets is None else np.asarray(offsets)
         )
         future = {k: jnp.asarray(v, jnp.float32) for k, v in future.items()}
+        if host_matched:
+            return finish(future, data, solve_idx(future, data))
         return finish(future, data)
 
     return eval_step

@@ -145,8 +145,10 @@ class Trainer:
             if tracker is not None:
                 from future_od_tpu.train.step import make_tracker_eval_step
 
+                # finish() must also avoid the in-jit exact solver here —
+                # the tracker eval step gets the split-criterion arm too.
                 self._eval_step = make_tracker_eval_step(
-                    model, self._criterion_cfg, tracker
+                    model, self._criterion_cfg, tracker, host_matched=True
                 )
             return
 

@@ -193,6 +193,37 @@ class TestDistributedConfig:
         assert cfg.coordinator_address == "head:9"
         assert cfg.num_processes == 8 and cfg.process_id == 3
 
+    def test_partial_flags_raise(self):
+        import argparse
+
+        import pytest
+
+        from future_od_tpu.parallel.distributed import distributed_config
+
+        # coordinator without num_processes must not silently fall through
+        # to env/SLURM/single-process (ADVICE r2)
+        args = argparse.Namespace(
+            dist_coordinator="head:9", dist_num_processes=None, dist_process_id=None
+        )
+        with pytest.raises(ValueError):
+            distributed_config(args, env={})
+        # multi-process without an explicit rank would split-brain on rank 0
+        args = argparse.Namespace(
+            dist_coordinator="head:9", dist_num_processes=4, dist_process_id=None
+        )
+        with pytest.raises(ValueError):
+            distributed_config(args, env={})
+        with pytest.raises(ValueError):
+            distributed_config(
+                env={"COORDINATOR_ADDRESS": "x:1", "NUM_PROCESSES": "4"}
+            )
+        # "auto" is the argument-less jax.distributed.initialize arm, not a
+        # partial flag set
+        args = argparse.Namespace(
+            dist_coordinator="auto", dist_num_processes=None, dist_process_id=None
+        )
+        assert distributed_config(args, env={}) is None
+
     def test_mesh_axes_keeps_model_axis_intra_host(self):
         from future_od_tpu.parallel.distributed import mesh_axes
 

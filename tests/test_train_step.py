@@ -181,6 +181,47 @@ class TestMaskLosses:
         assert "loss_mask" in weights and "loss_dice" in weights
         assert np.isfinite(float(total))
 
+    def test_compute_loss_threads_mask_targets(self):
+        # masks=True end-to-end through compute_loss: batch masks become
+        # targets["masks"]; a batch without them fails loudly (ADVICE r2)
+        import pytest
+
+        from future_od_tpu.models.set_criterion import CriterionConfig
+        from future_od_tpu.models.st_detr import compute_loss
+
+        rng = np.random.default_rng(5)
+        B, M, N, C, H, W = 2, 6, 4, 3, 16, 16
+        boxes_wh = np.abs(rng.normal(size=(B, N, 4))).astype(np.float32) * 4 + 1
+        data = {
+            "video": jnp.zeros((B, 1, H, W, 3)),
+            "boxes": jnp.asarray(
+                np.concatenate(
+                    [boxes_wh[..., :2], boxes_wh[..., :2] + boxes_wh[..., 2:]], -1
+                )
+            ),
+            "classes": jnp.asarray(rng.integers(0, C, size=(B, N))),
+            "active": jnp.ones((B, N), jnp.int64),
+            "masks": jnp.asarray(
+                (rng.uniform(size=(B, N, H, W)) < 0.5).astype(np.float32)
+            ),
+        }
+        outputs = {
+            "pred_logits": jnp.asarray(rng.normal(size=(B, M, C)).astype(np.float32)),
+            "pred_boxes": jax.nn.sigmoid(
+                jnp.asarray(rng.normal(size=(B, M, 4)).astype(np.float32))
+            ),
+            "pred_masks": jnp.asarray(
+                rng.normal(size=(B, M, 8, 8)).astype(np.float32)
+            ),
+        }
+        cfg = CriterionConfig(num_classes=C, masks=True, aux_loss=False)
+        loss, stats = compute_loss(outputs, data, cfg)
+        assert np.isfinite(float(loss))
+        with pytest.raises(ValueError, match="masks"):
+            compute_loss(
+                outputs, {k: v for k, v in data.items() if k != "masks"}, cfg
+            )
+
 
 class TestHostMatchedSplitStep:
     """The exact-Hungarian arm for callback-less backends: split step (jitted
@@ -227,6 +268,37 @@ class TestHostMatchedSplitStep:
         l1, st1, _, _ = eval_injit(state, data)
         l2, st2, _, _ = split_eval(state, data)
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+    def test_tracker_eval_host_matched_matches_injit(self):
+        # The tracker+hungarian combination on callback-less backends routes
+        # finish() through the split criterion (jitted costs -> host JV ->
+        # jitted loss); on CPU both arms run, so they must agree exactly.
+        import tests.test_models as tm
+        from future_od_tpu.models.build import build_tracker_baseline
+        from future_od_tpu.models.tracker import TrackerFuturePredictor
+        from future_od_tpu.train.step import make_tracker_eval_step
+
+        args = SpatioTemporalDETRArgs(**{**TINY, "matcher": "hungarian"})
+        model = build_tracker_baseline(args)
+        data = tm.make_data(
+            np.random.default_rng(11), B=2, L=3, H=64, W=64, N=8,
+            with_offsets=True, num_classes=4,
+        )
+        variables = model.init({"params": jax.random.key(0)}, data)
+        state = TrainState(
+            variables["params"], variables["frozen"], (), jnp.int32(0)
+        )
+        cfg = args.criterion_config()
+        tracker = TrackerFuturePredictor()
+        injit = make_tracker_eval_step(model, cfg, tracker)
+        split = make_tracker_eval_step(model, cfg, tracker, host_matched=True)
+        l1, st1, _, _ = injit(state, data)
+        l2, st2, _, _ = split(state, data)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for k in ("labels", "box_l1", "box_giou"):
+            np.testing.assert_allclose(
+                float(st1[k]), float(st2[k]), rtol=1e-6, err_msg=k
+            )
 
 
 class TestMatcherParity:
