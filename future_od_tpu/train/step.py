@@ -216,6 +216,46 @@ def make_host_matched_steps(
     return (train_step if tx is not None else None), eval_step
 
 
+def make_grad_report(model, criterion_cfg: CriterionConfig) -> Callable:
+    """Jitted per-parameter gradient L2 norms on one batch.
+
+    The JAX analogue of the reference's epoch-1 grad-presence audit
+    (/root/reference/future_od/trainer.py:181-185, required there because DDP
+    runs find_unused_parameters=False): under autodiff a grad always exists,
+    so "grad is None" becomes "grad identically zero on a real batch" — the
+    same dead-branch / mis-masked-param catcher. Also backs the
+    wandb.watch(watch_model) gradient-watching parity path.
+    """
+
+    def report(state: TrainState, data: Dict[str, jnp.ndarray], rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def fwd(p):
+            return _forward_and_loss(
+                model, criterion_cfg, p, state.frozen, data,
+                deterministic=False, dropout_rng=dropout_rng,
+            )[0]
+
+        grads = jax.grad(fwd)(state.params)
+        return jax.tree.map(
+            lambda g: jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)))), grads
+        )
+
+    return jax.jit(report)
+
+
+def dead_param_names(grad_norms, labels) -> list:
+    """Parameter path strings whose gradient norm is exactly zero, excluding
+    intentionally frozen params (optimizer label "frozen")."""
+    flat_norms = jax.tree_util.tree_flatten_with_path(grad_norms)[0]
+    flat_labels = jax.tree_util.tree_leaves(labels)
+    dead = []
+    for (path, norm), label in zip(flat_norms, flat_labels):
+        if label != "frozen" and float(norm) == 0.0:
+            dead.append(jax.tree_util.keystr(path))
+    return dead
+
+
 def make_eval_step(model, criterion_cfg: CriterionConfig) -> Callable:
     """Returns eval_step(state, data) -> (loss, stats, od_map_stuffs, output)."""
 

@@ -91,6 +91,8 @@ class Trainer:
         self._wandb_config = wandb_config or WandBConfig()
         self._mesh = mesh
         self._rng = jax.random.key(seed)
+        self._freeze_stem = freeze_backbone_stem
+        self._grad_report = None  # built lazily by _grad_audit
 
         # Stats meters per (mode, stat key) (trainer.py:71-77) + matcher
         # telemetry (auction rounds / unmatched actives).
@@ -270,6 +272,51 @@ class Trainer:
         self._wandb = wandb
 
     # ------------------------------------------------------------------
+    def _grad_audit(self, data):
+        """Epoch-1 dead-branch audit + optional gradient watching.
+
+        Prints every trainable parameter whose gradient is identically zero
+        on the first real batch (the reference prints `grad is None` params,
+        trainer.py:181-185); with wandb watch_model, also logs per-parameter
+        gradient norms each epoch (the wandb.watch parity path — torch's
+        hook-based watch has no JAX equivalent, so norms are computed from an
+        explicit grad pass on the epoch's first batch).
+        """
+        if self._grad_report is None:
+            from dataclasses import replace
+
+            from future_od_tpu.train.step import make_grad_report
+
+            # the audit concerns grad-flow topology, not assignment quality:
+            # force the on-device auction so the report jits on callback-less
+            # backends even under --matcher hungarian
+            cfg = replace(self._criterion_cfg, matcher="auction")
+            self._grad_report = make_grad_report(self._model, cfg)
+        from future_od_tpu.train.optimizer import param_labels
+        from future_od_tpu.train.step import dead_param_names
+
+        norms = jax.device_get(self._grad_report(self.state, data, self._rng))
+        labels = param_labels(self.state.params, self._freeze_stem)
+        if self._epoch == 1:
+            for name in dead_param_names(norms, labels):
+                print(f"Parameter {name} has an identically-zero gradient")
+        if (
+            self._wandb_config.watch_model
+            and self._wandb_config.enabled
+            and self._wandb is not None
+        ):
+            flat = jax.tree_util.tree_flatten_with_path(norms)[0]
+            self._wandb.log(
+                {
+                    "epoch": self._epoch,
+                    **{
+                        f"grads/{jax.tree_util.keystr(p)}": float(n)
+                        for p, n in flat
+                    },
+                }
+            )
+
+    # ------------------------------------------------------------------
     def _run_epoch(self, mode: str, data_loader, training: bool):
         num_iterations = len(data_loader)
         od_map_stuff_lst = [[], [], [], []]
@@ -288,6 +335,8 @@ class Trainer:
             )
 
             if training:
+                if i == 0 and (self._epoch == 1 or self._wandb_config.watch_model):
+                    self._grad_audit(data)
                 self.state, loss, stats, od_map_stuffs, output = self._train_step(
                     self.state, data, self._rng
                 )

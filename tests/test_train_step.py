@@ -223,6 +223,48 @@ class TestMaskLosses:
             )
 
 
+class TestGradAudit:
+    def test_planted_dead_param_is_reported(self):
+        # The epoch-1 audit (reference trainer.py:181-185): a parameter that
+        # does not influence the loss has an identically-zero gradient and
+        # must be named; frozen-labeled params are excluded by design.
+        from flax import linen as nn
+
+        import tests.test_models as tm
+        from future_od_tpu.train.optimizer import param_labels
+        from future_od_tpu.train.step import dead_param_names, make_grad_report
+
+        class WithDead(nn.Module):
+            model: object
+
+            @nn.compact
+            def __call__(self, data, deterministic=True, **kw):
+                self.param("dead_weight", nn.initializers.ones, (4,))
+                return self.model(data, deterministic=deterministic, **kw)
+
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = WithDead(model=build_flagship(args))
+        data = tm.make_data(np.random.default_rng(3), B=2, L=2, H=64, W=64, N=8)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            data, deterministic=False,
+        )
+        state = TrainState(
+            variables["params"], variables["frozen"], (), jnp.int32(0)
+        )
+        report = make_grad_report(model, args.criterion_config())
+        norms = jax.device_get(report(state, data, jax.random.key(2)))
+        dead = dead_param_names(norms, param_labels(state.params))
+        assert any("dead_weight" in name for name in dead)
+        # known-live params must NOT be reported (exhaustive liveness does
+        # not hold at init: the zero-initialized bbox head back-propagates
+        # exact zeros on step 0, and attention key-projection biases are
+        # structurally grad-free through the softmax's shift invariance —
+        # both also true of the reference's torch modules)
+        for name in dead:
+            assert "class_embed" not in name and "backbone" not in name, name
+
+
 class TestHostMatchedSplitStep:
     """The exact-Hungarian arm for callback-less backends: split step (jitted
     cost pass -> host JV -> jitted grad pass) must reproduce the in-jit
