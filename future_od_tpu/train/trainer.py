@@ -129,6 +129,26 @@ class Trainer:
             opt_state=opt_state,
             step=jnp.int32(0),
         )
+        # Mesh shardings (shared by both step arms): params follow
+        # parallel/mesh.py's rules, batches shard on dim 0.
+        self._state_shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from future_od_tpu.parallel.mesh import batch_sharding, param_shardings
+
+            repl = NamedSharding(mesh, P())
+            self._state_shardings = TrainState(
+                params=param_shardings(self.state.params, mesh),
+                frozen=jax.tree.map(lambda _: repl, self.state.frozen),
+                opt_state=jax.tree.map(lambda _: repl, self.state.opt_state),
+                step=repl,
+            )
+            self._batch_shard = batch_sharding(mesh)
+            self.state = jax.device_put(self.state, self._state_shardings)
+        else:
+            self._batch_shard = None
+
         # Exact-Hungarian on callback-less backends (axon): split-step arm —
         # jitted cost pass -> host C++ JV solve -> jitted grad pass.
         self._host_matched = (
@@ -136,14 +156,13 @@ class Trainer:
             and jax.default_backend() not in ("cpu",)
         )
         if self._host_matched:
-            assert mesh is None, "host-matched split step is single-host only"
             from future_od_tpu.train.step import make_host_matched_steps
 
             self._train_step, self._eval_step = make_host_matched_steps(
                 model, self._criterion_cfg, self._tx,
                 mixed_precision=mixed_precision,
+                mesh=mesh, state_shardings=self._state_shardings,
             )
-            self._batch_shard = None
             if tracker is not None:
                 from future_od_tpu.train.step import make_tracker_eval_step
 
@@ -159,21 +178,9 @@ class Trainer:
         )
         eval_fn = make_eval_step(model, self._criterion_cfg)
         if mesh is not None:
-            # Data-parallel (+ optional tensor-parallel) execution: params
-            # follow parallel/mesh.py's sharding rules, batches shard on dim 0.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from future_od_tpu.parallel.mesh import batch_sharding, param_shardings
-
             repl = NamedSharding(mesh, P())
-            self._state_shardings = TrainState(
-                params=param_shardings(self.state.params, mesh),
-                frozen=jax.tree.map(lambda _: repl, self.state.frozen),
-                opt_state=jax.tree.map(lambda _: repl, self.state.opt_state),
-                step=repl,
-            )
-            self._batch_shard = batch_sharding(mesh)
-            self.state = jax.device_put(self.state, self._state_shardings)
             self._train_step = jax.jit(
                 train_fn,
                 in_shardings=(self._state_shardings, None, repl),
@@ -184,7 +191,6 @@ class Trainer:
                 eval_fn, in_shardings=(self._state_shardings, None)
             )
         else:
-            self._batch_shard = None
             self._train_step = jax.jit(train_fn, donate_argnums=(0,))
             self._eval_step = jax.jit(eval_fn)
         if tracker is not None:

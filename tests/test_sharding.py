@@ -19,10 +19,10 @@ TINY = dict(
 )
 
 
-def setup(B=8):
+def setup(B=8, matcher="auction"):
     import tests.test_models as tm
 
-    args = SpatioTemporalDETRArgs(**TINY)
+    args = SpatioTemporalDETRArgs(**{**TINY, "matcher": matcher})
     model = build_flagship(args)
     data = tm.make_data(np.random.default_rng(0), B=B, L=2, H=64, W=64, N=8)
     variables = model.init({"params": jax.random.key(0)}, data)
@@ -31,6 +31,8 @@ def setup(B=8):
     )
     state = TrainState(variables["params"], variables["frozen"], opt_state, jnp.int32(0))
     step = make_train_step(model, args.criterion_config(), tx)
+    if matcher != "auction":
+        return model, state, step, data, args
     return model, state, step, data
 
 
@@ -84,6 +86,46 @@ class TestSharding:
         l1 = jax.tree.leaves(s1.params)[0]
         l2 = jax.tree.leaves(s2.params)[0]
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-5)
+
+    def test_host_matched_split_step_on_dp_mesh(self):
+        # --matcher hungarian's split-step arm over a data-parallel mesh
+        # (VERDICT r2 next #8): the jitted cost pass gathers replicated costs,
+        # the host JV solve feeds the sharded grad pass, and the result equals
+        # the in-jit pure_callback hungarian step on the same global batch.
+        from future_od_tpu.train.step import make_host_matched_steps
+
+        model, state, step, data, args = setup(B=8, matcher="hungarian")
+        rng = jax.random.key(1)
+        s1, loss1, stats1, _, _ = jax.jit(step)(state, data, rng)
+
+        mesh = make_mesh(num_data=8, num_model=1)
+        repl = NamedSharding(mesh, P())
+        state_sh = TrainState(
+            params=jax.tree.map(lambda _: repl, state.params),
+            frozen=jax.tree.map(lambda _: repl, state.frozen),
+            opt_state=jax.tree.map(lambda _: repl, state.opt_state),
+            step=repl,
+        )
+        model2, state2, _, data2, _ = setup(B=8, matcher="hungarian")
+        state2 = jax.device_put(state2, state_sh)
+        data2 = jax.device_put(
+            data2, jax.tree.map(lambda _: batch_sharding(mesh), data2)
+        )
+        from future_od_tpu.train.optimizer import build_optimizer
+
+        tx, _ = build_optimizer(
+            state.params, lr=1e-4, lr_backbone=1e-4, max_norm=0.1
+        )
+        split_train, split_eval = make_host_matched_steps(
+            model2, args.criterion_config(), tx,
+            mesh=mesh, state_shardings=state_sh,
+        )
+        s2, loss2, stats2, _, _ = split_train(state2, data2, rng)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+        l1, l2 = jax.tree.leaves(s1.params)[0], jax.tree.leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-5)
+        l_ev, _, _, _ = split_eval(state2, data2)
+        assert np.isfinite(float(l_ev))
 
     def test_dp_tp_runs(self):
         # 4x2 mesh with tensor-parallel params: step executes, loss finite
