@@ -110,6 +110,11 @@ def add_tpu_args(parser):
     )
     parser.add_argument("--num_workers", default=16, type=int)
     parser.add_argument(
+        "--loader", default="thread", choices=["thread", "grain"],
+        help="input pipeline backend: thread pool (native decode releases "
+        "the GIL) or grain worker processes (python-heavy datasets)",
+    )
+    parser.add_argument(
         "--checkpoint_every_iters", default=0, type=int,
         help="also checkpoint mid-epoch every N train iterations (preemption safety)",
     )

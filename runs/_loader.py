@@ -116,6 +116,18 @@ def get_nusc_loaders(
     return _build_loaders(args, train_batch_size, training_data, validation_data)
 
 
+def _make_loader(args, dataset, **kw):
+    """Loader backend selection (--loader thread|grain): the thread pool
+    covers native-decode datasets (JPEG/resize release the GIL); grain runs
+    worker PROCESSES for python-heavy datasets — the counterpart of the
+    reference's 16-process torch DataLoader (runs/_loader.py:106-123)."""
+    if getattr(args, "loader", "thread") == "grain":
+        from future_od_tpu.data.grain_loader import GrainLoader
+
+        return GrainLoader(dataset, **kw)
+    return Loader(dataset, **kw)
+
+
 def _build_loaders(args, train_batch_size, training_data, validation_data):
     num_workers = getattr(args, "num_workers", 16)
     train_bs = (
@@ -123,7 +135,8 @@ def _build_loaders(args, train_batch_size, training_data, validation_data):
         if (args.debug or args.short_train) and not getattr(args, "synthetic", False)
         else train_batch_size
     )
-    training_loader = Loader(
+    training_loader = _make_loader(
+        args,
         training_data,
         batch_size=min(train_bs, len(training_data)),
         shuffle=True,
@@ -131,7 +144,8 @@ def _build_loaders(args, train_batch_size, training_data, validation_data):
         num_workers=num_workers,
     )
     validation_loader = {
-        "val0": Loader(
+        "val0": _make_loader(
+            args,
             validation_data,
             batch_size=min(2 if args.debug else 12, len(validation_data)),
             shuffle=False,

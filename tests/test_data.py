@@ -149,3 +149,36 @@ class TestLoader:
         loader = Loader(Bad(), batch_size=2, device_put=False)
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
+
+
+class TestLoaderSelection:
+    """--loader thread|grain backend selection (reference counterpart: the
+    16-process torch DataLoader, runs/_loader.py:106-123)."""
+
+    def test_make_loader_backends(self):
+        from argparse import Namespace
+
+        from runs._loader import _make_loader
+        from future_od_tpu.data.grain_loader import GrainLoader
+        from future_od_tpu.data.loader import Loader
+
+        ds = SyntheticClipDataset(num_samples=4, num_frames=1, image_size=(64, 96), seed=0)
+        thread = _make_loader(
+            Namespace(loader="thread"), ds, batch_size=2, num_workers=1
+        )
+        assert isinstance(thread, Loader)
+        g = _make_loader(Namespace(loader="grain"), ds, batch_size=2, num_workers=0)
+        assert isinstance(g, GrainLoader)
+
+    def test_grain_loader_batch_contract(self):
+        pytest.importorskip("grain")
+        from future_od_tpu.data.grain_loader import GrainLoader
+
+        ds = SyntheticClipDataset(num_samples=4, num_frames=2, image_size=(64, 96), seed=0)
+        loader = GrainLoader(ds, batch_size=2, num_workers=0, device_put=False)
+        batches = list(loader)
+        assert len(batches) == 2
+        batch = batches[0]
+        assert batch["video"].shape == (2, 2, 64, 96, 3)
+        for key in ("boxes", "classes", "active", "annotated_frame_idx"):
+            assert key in batch

@@ -87,9 +87,14 @@ def main():
     ap.add_argument("--frames", type=int, default=96)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--loader", default="thread", choices=["thread", "grain"],
+                    help="thread pool vs grain worker processes")
     args = ap.parse_args()
 
-    from future_od_tpu.data.loader import Loader
+    if args.loader == "grain":
+        from future_od_tpu.data.grain_loader import GrainLoader as Loader
+    else:
+        from future_od_tpu.data.loader import Loader
 
     with tempfile.TemporaryDirectory() as root:
         t0 = time.perf_counter()
