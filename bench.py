@@ -42,14 +42,25 @@ def main():
     from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
     from future_od_tpu.train.step import make_inference_fn
 
-    args = SpatioTemporalDETRArgs(num_classes=8, num_queries=128, lr_backbone=1e-4)
+    # BENCH_HOST_S2D=1: space-to-depth stem fed by HOST-packed 12-channel
+    # frames (the loader-side numpy reshape replaces the on-device transpose
+    # that sank the embedded s2d stem in round 2 — VERDICT r2 next #4)
+    host_s2d = _os.environ.get("BENCH_HOST_S2D", "0") == "1"
+    args = SpatioTemporalDETRArgs(
+        num_classes=8, num_queries=128, lr_backbone=1e-4,
+        space_to_depth=host_s2d,
+    )
     model = build_flagship(args)
 
     rng = np.random.default_rng(0)
+    video = rng.normal(size=(BATCH, FRAMES, HEIGHT, WIDTH, 3)).astype(np.float32)
+    if host_s2d:
+        B_, L_, H_, W_, C_ = video.shape
+        video = video.reshape(B_, L_, H_ // 2, 2, W_ // 2, 2, C_)
+        video = np.ascontiguousarray(video.transpose(0, 1, 2, 4, 3, 5, 6))
+        video = video.reshape(B_, L_, H_ // 2, W_ // 2, 4 * C_)
     data = {
-        "video": jnp.asarray(
-            rng.normal(size=(BATCH, FRAMES, HEIGHT, WIDTH, 3)).astype(np.float32)
-        ),
+        "video": jnp.asarray(video),
         "annotated_frame_idx": jnp.asarray([FRAMES - 1] * BATCH),
     }
     for key, d in [

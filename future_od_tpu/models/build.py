@@ -33,6 +33,7 @@ def _separate_encoder(args: SpatioTemporalDETRArgs, use_imu: bool = True) -> Sep
         use_imu=use_imu,
         backbone_name=args.backbone,
         backbone_dilation=args.dilation,
+        backbone_space_to_depth=args.space_to_depth,
     )
 
 

@@ -66,10 +66,11 @@ class SeparateEncoder(nn.Module):
     def __call__(
         self, images: jnp.ndarray, imu: Optional[jnp.ndarray] = None, deterministic: bool = True
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        """images (B, L, H, W, 3); imu (B, L, imu_dim).
+        """images (B, L, H, W, 3) — or (B, L, H/2, W/2, 12) when the host
+        already space-to-depth packed the frames; imu (B, L, imu_dim).
         Returns features (B, L, h, w, D) and egodeep (B, L, D) or None."""
-        B, L, H, W, _ = images.shape
-        folded = images.reshape(B * L, H, W, 3)
+        B, L, H, W, C = images.shape
+        folded = images.reshape(B * L, H, W, C)
         features = CDetrBackbone(
             self.hidden_dim, self.backbone_name, self.backbone_dilation,
             self.backbone_space_to_depth, name="backbone",

@@ -232,7 +232,11 @@ class ResNet(nn.Module):
         )
         if self.use_space_to_depth:
             k1 = ConvKernel((4, 4, 12, 64), name="conv1")()
-            x = space_to_depth(x)
+            if x.shape[-1] != 12:
+                # host-packed inputs (12 channels) skip the on-device
+                # transpose — the cost that sank the embedded s2d stem in
+                # round 2 (BENCHMARKS.md: +64 ms at b12 896x1600)
+                x = space_to_depth(x)
             w4 = k1
         else:
             k1 = ConvKernel((7, 7, 3, 64), name="conv1")()

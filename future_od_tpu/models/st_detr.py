@@ -19,6 +19,7 @@ from future_od_tpu.models.set_criterion import (
     set_criterion,
     weighted_total,
 )
+from future_od_tpu.ops.misc import video_hw
 from future_od_tpu.ops.target_utils import to_detr_targets
 
 IMU_KEYS = ("translation", "acceleration", "rotation", "rotation_rate")
@@ -72,6 +73,10 @@ class SpatioTemporalDETRArgs:
 
     # TPU-native extras
     matcher: str = "auction"  # on-device default; "hungarian" = exact host arm
+    # s2d stem: 4x4/1 conv over 2x2-packed input replaces the MXU-hostile
+    # 3-channel 7x7/2 conv; pack on the HOST loader (12-channel video) to
+    # avoid the on-device transpose (BENCHMARKS.md round 2)
+    space_to_depth: bool = False
 
     def criterion_config(self, matching_mode: str = "per level") -> CriterionConfig:
         return CriterionConfig(
@@ -174,7 +179,7 @@ def compute_loss(
     pred_idx_all: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Set loss + the reference's stat dict (st_detr.py:169-188)."""
-    H, W = data["video"].shape[2], data["video"].shape[3]
+    H, W = video_hw(data["video"])
     targets = to_detr_targets(
         H, W, data["active"], data["boxes"], data["classes"]
     )
@@ -213,7 +218,7 @@ def post_process(
     (st_detr.py:190-234). Returns (output dict, annotated-frame scores,
     annotated-frame boxes) — the latter feed the mAP accumulators."""
     B, L_in = data["video"].shape[0], data["video"].shape[1]
-    H, W = data["video"].shape[2], data["video"].shape[3]
+    H, W = video_hw(data["video"])
     scores = jax.nn.sigmoid(pred_logits)
     scores = jnp.concatenate([scores, scores.max(axis=3, keepdims=True)], axis=3)
     boxes = pred_boxes * jnp.array([W, H, W, H], dtype=pred_boxes.dtype)

@@ -14,3 +14,18 @@ def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     x1 = jnp.clip(x, eps, None)
     x2 = jnp.clip(1.0 - x, eps, None)
     return jnp.log(x1 / x2)
+
+
+def video_hw(video) -> tuple:
+    """Logical (H, W) pixels of a video tensor.
+
+    A 12-channel video is space-to-depth packed on the HOST (2x2 pixel blocks
+    folded into channels, models/resnet.py:space_to_depth) — the TPU stem
+    optimization that avoids the on-device input transpose. Box scaling and
+    the mAP accumulators must keep using the ORIGINAL pixel frame, so packed
+    inputs report 2x their stored spatial dims.
+    """
+    H, W, C = video.shape[2], video.shape[3], video.shape[-1]
+    if C == 12:
+        return 2 * H, 2 * W
+    return H, W

@@ -23,6 +23,7 @@ import optax
 from future_od_tpu.metrics.od_map import prepare_od_map_stuffs
 from future_od_tpu.models.set_criterion import CriterionConfig
 from future_od_tpu.models.st_detr import compute_loss, normalize_outputs, post_process
+from future_od_tpu.ops.misc import video_hw
 
 
 class TrainState(NamedTuple):
@@ -53,7 +54,7 @@ def _forward_and_loss(model, criterion_cfg: CriterionConfig, params, frozen, dat
 
 def _postproc_and_map(pred_logits, pred_boxes, data):
     output, anno_scores, anno_boxes = post_process(pred_logits, pred_boxes, data)
-    H, W = data["video"].shape[2], data["video"].shape[3]
+    H, W = video_hw(data["video"])
     od_map_stuffs = prepare_od_map_stuffs(
         anno_boxes, anno_scores, data["boxes"], data["classes"], data["active"],
         (H, W),
@@ -179,7 +180,7 @@ def make_host_matched_steps(
             deterministic=dropout_rng is None, rngs=rngs,
         )
         annotated, _, _ = normalize_outputs(out, data)
-        H, W = data["video"].shape[2], data["video"].shape[3]
+        H, W = video_hw(data["video"])
         targets = to_detr_targets(H, W, data["active"], data["boxes"], data["classes"])
         return matching_costs_all(annotated, targets, criterion_cfg)
 
@@ -347,7 +348,7 @@ def make_tracker_eval_step(
         @jax.jit
         def tracker_costs(pred, data):
             annotated, _, _ = normalize_outputs(pred, data)
-            H, W = data["video"].shape[2], data["video"].shape[3]
+            H, W = video_hw(data["video"])
             targets = to_detr_targets(
                 H, W, data["active"], data["boxes"], data["classes"]
             )
