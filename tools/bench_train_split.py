@@ -53,15 +53,17 @@ def main():
     )
     model = build_flagship(args)
     rng = np.random.default_rng(0)
-    boxes_wh = np.abs(rng.normal(size=(B, N, 4))).astype(np.float32) * 40
+    # scene-like targets (same recipe as bench_train.py): scattered centers,
+    # log-normal sizes — origin-piled boxes drove pathological auction rounds
+    cxy = rng.uniform(0.05, 0.95, size=(B, N, 2)).astype(np.float32) * [W, H]
+    wh = np.exp(rng.normal(4.0, 0.6, size=(B, N, 2))).astype(np.float32)
+    wh = np.clip(wh, 8, [W * 0.5, H * 0.5])
     data = {
         "video": jnp.asarray(
             rng.normal(size=(B, L, H, W, 3)).astype(np.float32)
         ),
         "boxes": jnp.asarray(
-            np.concatenate(
-                [boxes_wh[..., :2], boxes_wh[..., :2] + boxes_wh[..., 2:]], -1
-            )
+            np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
         ),
         "classes": jnp.asarray(rng.integers(0, 8, size=(B, N))),
         "active": jnp.asarray(
@@ -98,6 +100,42 @@ def main():
     infer = jax.jit(make_inference_fn(model))
     vars_h = {"params": params_h, "frozen": frozen_h}
     print(f"  infer (det fwd+postproc)  {timed(infer, vars_h, data_h):8.1f} ms",
+          flush=True)
+
+    from future_od_tpu.models.set_criterion import SOLVERS, matching_costs_all
+    from future_od_tpu.models.st_detr import normalize_outputs
+    from future_od_tpu.ops.misc import video_hw
+    from future_od_tpu.ops.target_utils import to_detr_targets
+
+    def _fwd(p):
+        return model.apply(
+            {"params": _to_half(p, bf), "frozen": frozen_h}, data_h,
+            deterministic=False, rngs={"dropout": key},
+        )
+
+    jraw = jax.jit(lambda p: _fwd(p)["pred_boxes"])
+    print(f"  train fwd only            {timed(jraw, state.params):8.1f} ms",
+          flush=True)
+
+    def _costs(p):
+        annotated, _, _ = normalize_outputs(_fwd(p), data_h)
+        Hh, Ww = video_hw(data_h["video"])
+        targets = to_detr_targets(
+            Hh, Ww, data_h["active"], data_h["boxes"], data_h["classes"]
+        )
+        return matching_costs_all(annotated, targets, ccfg), targets
+
+    jcosts = jax.jit(lambda p: _costs(p)[0][0])
+    print(f"  + 6-level cost build      {timed(jcosts, state.params):8.1f} ms",
+          flush=True)
+
+    def _solve(p):
+        (costs, active), _ = _costs(p)
+        idx, rounds = SOLVERS[ccfg.matcher](costs, active, return_rounds=True)
+        return idx, rounds
+
+    jsolve = jax.jit(lambda p: _solve(p)[0])
+    print(f"  + auction solve           {timed(jsolve, state.params):8.1f} ms",
           flush=True)
 
     def fwdloss(p):
