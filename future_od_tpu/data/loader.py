@@ -63,6 +63,7 @@ class Loader:
         num_workers: int = 8,
         prefetch: int = 2,
         device_put: bool = True,
+        space_to_depth: bool = False,
     ):
         assert len(dataset) > 0, "All loaders must be non-empty"
         self.dataset = dataset
@@ -74,6 +75,9 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.device_put = device_put
+        # pack 2x2 pixel blocks into 12 channels on the HOST (per-sample, in
+        # the worker pool) so the TPU s2d stem skips its input transpose
+        self.space_to_depth = space_to_depth
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -115,7 +119,7 @@ class Loader:
                             if stop.is_set():
                                 return
                             pending.append(
-                                [pool.submit(self.dataset.__getitem__, i)
+                                [pool.submit(self._get_sample, i)
                                  for i in idxs]
                             )
                             while len(pending) > self.prefetch:
@@ -146,8 +150,20 @@ class Loader:
         finally:
             stop.set()
 
+    def _get_sample(self, i):
+        sample = self.dataset[i]
+        if self.space_to_depth:
+            sample = dict(sample)
+            v = np.asarray(sample["video"])
+            L, H, W, C = v.shape
+            v = v.reshape(L, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+            sample["video"] = np.ascontiguousarray(v).reshape(
+                L, H // 2, W // 2, 4 * C
+            )
+        return sample
+
     def _load_batch(self, idxs):
-        return self._finish([self.dataset[i] for i in idxs])
+        return self._finish([self._get_sample(i) for i in idxs])
 
     def _finish(self, samples):
         batch = collate(samples)

@@ -182,3 +182,22 @@ class TestLoaderSelection:
         assert batch["video"].shape == (2, 2, 64, 96, 3)
         for key in ("boxes", "classes", "active", "annotated_frame_idx"):
             assert key in batch
+
+
+class TestLoaderSpaceToDepth:
+    def test_packing_matches_model_op(self):
+        from future_od_tpu.data.loader import Loader
+        from future_od_tpu.models.resnet import space_to_depth
+
+        ds = SyntheticClipDataset(num_samples=2, num_frames=2, image_size=(64, 96), seed=0)
+        plain = next(iter(Loader(ds, batch_size=2, device_put=False, num_workers=1)))
+        packed = next(iter(Loader(
+            ds, batch_size=2, device_put=False, num_workers=1, space_to_depth=True
+        )))
+        assert packed["video"].shape == (2, 2, 32, 48, 12)
+        import jax.numpy as jnp
+
+        want = np.asarray(space_to_depth(jnp.asarray(
+            plain["video"].reshape(4, 64, 96, 3)
+        ))).reshape(2, 2, 32, 48, 12)
+        np.testing.assert_allclose(packed["video"], want, atol=0)
