@@ -110,6 +110,11 @@ def add_tpu_args(parser):
     )
     parser.add_argument("--num_workers", default=16, type=int)
     parser.add_argument(
+        "--s2d", action="store_true", default=False,
+        help="space-to-depth stem with HOST-packed 12-channel frames "
+        "(loader packs per sample; see models/resnet.py)",
+    )
+    parser.add_argument(
         "--loader", default="thread", choices=["thread", "grain"],
         help="input pipeline backend: thread pool (native decode releases "
         "the GIL) or grain worker processes (python-heavy datasets)",

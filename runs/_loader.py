@@ -121,6 +121,10 @@ def _make_loader(args, dataset, **kw):
     covers native-decode datasets (JPEG/resize release the GIL); grain runs
     worker PROCESSES for python-heavy datasets — the counterpart of the
     reference's 16-process torch DataLoader (runs/_loader.py:106-123)."""
+    if getattr(args, "s2d", False):
+        if getattr(args, "loader", "thread") == "grain":
+            raise ValueError("--s2d packing is implemented in the thread Loader only")
+        kw["space_to_depth"] = True
     if getattr(args, "loader", "thread") == "grain":
         from future_od_tpu.data.grain_loader import GrainLoader
 

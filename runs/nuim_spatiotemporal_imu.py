@@ -51,6 +51,7 @@ def main():
         num_queries=128,
         lr_backbone=1e-4,
         matcher=args.matcher,
+        space_to_depth=args.s2d,
     )
     model = build_model(args, detr_args)
     print("built model")

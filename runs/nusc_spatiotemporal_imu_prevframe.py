@@ -48,6 +48,7 @@ def main():
         lr_backbone=1e-4,
         encode_offset=True,
         matcher=args.matcher,
+        space_to_depth=args.s2d,
     )
     model = build_model(args, detr_args)
     print("built model")
