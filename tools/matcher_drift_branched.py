@@ -1,0 +1,137 @@
+"""Branched auction-vs-exact matcher drift at CONVERGED accuracy.
+
+The full-trajectory paired runs (tools/matcher_drift.py) showed that on the
+tiny from-scratch synthetic task the two arms pair almost exactly through the
+DETR warm-up plateau (epoch-50 losses within 2e-4) but leave the plateau at
+different epochs — onset timing is chaotic, so per-epoch AP deltas during
+the transient measure seed sensitivity, not matcher drift. This tool does
+what VERDICT r2 #1's parenthetical prescribes instead: train ONE base model
+past onset, then branch it — resume the same checkpoint twice and train N
+further epochs with the auction vs the exact Hungarian under identical data
+order and dropout streams — and report per-epoch |ΔAP50| in the converged
+region (SURVEY §7 hard part 1).
+
+    python tools/matcher_drift_branched.py [--base-epochs 230] [--branch-epochs 40]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from future_od_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+
+from future_od_tpu.data.loader import Loader, VAL_SEED
+from future_od_tpu.data.synthetic import CATEGORY_DICT, SyntheticClipDataset
+from future_od_tpu.models.build import build_single_frame
+from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+from future_od_tpu.train.trainer import Trainer
+from future_od_tpu.utils.wandb import WandBConfig
+
+
+def make_trainer(matcher: str, save_name: str, batch: int, samples: int,
+                 checkpoint_dir: str):
+    detr_args = SpatioTemporalDETRArgs(
+        num_classes=2, num_queries=32, hidden_dim=128, enc_layers=2, dec_layers=3,
+        dim_feedforward=512, enc_nheads=8, nheads=8,
+        lr=3e-4, lr_backbone=3e-4, matcher=matcher,
+    )
+    model = build_single_frame(detr_args, use_imu=False)
+    train_ds = SyntheticClipDataset(
+        num_samples=samples, num_frames=1, image_size=(128, 192),
+        max_objects=4, seed=1,
+    )
+    val_ds = SyntheticClipDataset(
+        num_samples=64, num_frames=1, image_size=(128, 192), max_objects=4, seed=2
+    )
+    return Trainer(
+        model=model,
+        detr_args=detr_args,
+        train_loader=Loader(train_ds, batch_size=batch, shuffle=True, num_workers=4),
+        val_loaders={
+            "val0": Loader(val_ds, batch_size=batch, seed=VAL_SEED, num_workers=4)
+        },
+        checkpoint_path=checkpoint_dir,
+        visualization_path=f"visualization/{save_name}",
+        save_name=save_name,
+        category_dict=CATEGORY_DICT,
+        lr_func=lambda e: min(1.0, (e + 1) / 5),
+        print_interval=1000,
+        checkpoint_epochs=True,
+        wandb_config=WandBConfig(enabled=False),
+        freeze_backbone_stem=False,
+        seed=0,  # identical init + dropout + data order across arms
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--base-epochs", type=int, default=230)
+    parser.add_argument("--branch-epochs", type=int, default=40)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--samples", type=int, default=256)
+    parser.add_argument("--ckpt-dir", default="checkpoints")
+    parser.add_argument("--out", default="/tmp/matcher_drift_branched.json")
+    parser.add_argument("--progress", default="/tmp/matcher_drift_branched.jsonl")
+    args = parser.parse_args()
+
+    # Phase 1: base run (auction — the production path) to past-onset AP.
+    base = make_trainer("auction", "drift_base", args.batch, args.samples,
+                        args.ckpt_dir)
+    base.load_checkpoint()  # resume a partial base if one exists
+    base.train(args.base_epochs)
+    base_ap = [float(v) for v in base._ap_by_mode["train"]["all"][0, :, 0]]
+    print(f"BASE train AP50 after {args.base_epochs} epochs: {base_ap}", flush=True)
+    base_ckpt = os.path.join(args.ckpt_dir, "drift_base")
+
+    # Phase 2: branch the checkpoint into both matcher arms (branches never
+    # save, so both load the base checkpoint directly).
+    results = {"base_ap50": base_ap, "base_epochs": args.base_epochs}
+    total = args.base_epochs + args.branch_epochs
+    for matcher in ("auction", "hungarian"):
+        name = f"drift_branch_{matcher}"
+        trainer = make_trainer(matcher, name, args.batch, args.samples,
+                               args.ckpt_dir)
+        trainer._save_checkpoints = False
+        trainer.load_checkpoint(base_ckpt)
+        ap = {"train": [], "val": []}
+        for e in range(args.base_epochs + 1, total + 1):
+            trainer.train(e)
+            ap["train"].append(
+                [float(v) for v in trainer._ap_by_mode["train"]["all"][0, :, 0]]
+            )
+            ap["val"].append(
+                [float(v) for v in trainer._ap_by_mode["val0"]["all"][0, :, 0]]
+            )
+            with open(args.progress, "a") as f:
+                f.write(json.dumps({
+                    "matcher": matcher, "epoch": e,
+                    "train_ap50": ap["train"][-1], "ap50": ap["val"][-1],
+                }) + "\n")
+        results[matcher] = ap
+
+    a = np.asarray(results["auction"]["train"])  # (E, C)
+    h = np.asarray(results["hungarian"]["train"])
+    av = np.asarray(results["auction"]["val"])
+    hv = np.asarray(results["hungarian"]["val"])
+    results["summary"] = {
+        "branch_epochs": args.branch_epochs,
+        "train_mean_ap50_abs_delta": float(np.nanmean(np.abs(a - h))),
+        "train_max_ap50_abs_delta": float(np.nanmax(np.abs(a - h))),
+        "train_final_ap50": {"auction": a[-1].tolist(), "hungarian": h[-1].tolist()},
+        "val_mean_ap50_abs_delta": float(np.nanmean(np.abs(av - hv))),
+        "val_max_ap50_abs_delta": float(np.nanmax(np.abs(av - hv))),
+        "val_final_ap50": {"auction": av[-1].tolist(), "hungarian": hv[-1].tolist()},
+    }
+    with open(args.out, "w") as f:
+        json.dump(results, f)
+    print("BRANCHED DRIFT SUMMARY:", json.dumps(results["summary"], indent=2))
+
+
+if __name__ == "__main__":
+    main()
