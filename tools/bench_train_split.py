@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 
 
 def timed(fn, *args, iters=5, warmup=1):
@@ -148,10 +149,25 @@ def main():
     print(f"  train fwd + matcher+loss  {timed(jfwd, state.params):8.1f} ms",
           flush=True)
 
+    # NOTE: the grads themselves must be program OUTPUTS — returning only the
+    # loss value lets XLA dead-code-eliminate the entire backward graph (the
+    # round-3 run measured exactly fwd+loss time that way).
     jgrad = jax.jit(
-        lambda p: jax.value_and_grad(fwdloss, has_aux=True)(p)[0][0]
+        lambda p: jax.value_and_grad(fwdloss, has_aux=True)(p)[1]
     )
     print(f"  + backward (grads)        {timed(jgrad, state.params):8.1f} ms",
+          flush=True)
+
+    def grad_opt(s):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: fwdloss(p), has_aux=True
+        )(s.params)
+        updates, opt_state = tx.update(grads, s.opt_state, s.params)
+        params = optax.apply_updates(s.params, updates)
+        return TrainState(params, s.frozen, opt_state, s.step + 1)
+
+    jgradopt = jax.jit(grad_opt)
+    print(f"  + optimizer (no mAP)      {timed(jgradopt, state):8.1f} ms",
           flush=True)
 
     step = jax.jit(make_train_step(model, ccfg, tx, mixed_precision=True))
