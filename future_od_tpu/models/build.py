@@ -34,6 +34,7 @@ def _separate_encoder(args: SpatioTemporalDETRArgs, use_imu: bool = True) -> Sep
         backbone_name=args.backbone,
         backbone_dilation=args.dilation,
         backbone_space_to_depth=args.space_to_depth,
+        backbone_int8=args.int8_backbone,
     )
 
 

@@ -61,6 +61,9 @@ class SeparateEncoder(nn.Module):
     # config — the 12-channel 4x4 conv picks a bad algorithm); default off,
     # kept as a capability for toolchains where the classic trick wins.
     backbone_space_to_depth: bool = False
+    # int8 PTQ inference path for the trunk convs (ops/quant.py) — the v5e
+    # MXU's int8 peak is 2x bf16 and int8 halves early-stage HBM traffic
+    backbone_int8: bool = False
 
     @nn.compact
     def __call__(
@@ -73,7 +76,7 @@ class SeparateEncoder(nn.Module):
         folded = images.reshape(B * L, H, W, C)
         features = CDetrBackbone(
             self.hidden_dim, self.backbone_name, self.backbone_dilation,
-            self.backbone_space_to_depth, name="backbone",
+            self.backbone_space_to_depth, self.backbone_int8, name="backbone",
         )(folded, deterministic=deterministic)
         _, h, w, D = features.shape
 

@@ -108,6 +108,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     fuse: bool = False  # eligible for the fused Pallas path (layer1)
+    int8: bool = False  # int8 PTQ inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -150,6 +151,31 @@ class Bottleneck(nn.Module):
                 sd, td = bnd.scale_shift()
                 args.update(wd=kd[0, 0] * sd, bd=td)
             return fused_bottleneck(x, **args)
+
+        if self.int8 and deterministic:
+            # Inference-only int8 path: frozen-BN folded into the quantized
+            # per-channel kernels, int32 MXU accumulation (ops/quant.py).
+            from future_od_tpu.ops.quant import int8_conv
+
+            s1, t1 = bn1.scale_shift()
+            s2, t2 = bn2.scale_shift()
+            s3, t3 = bn3.scale_shift()
+            out = jax.nn.relu(int8_conv(x, k1 * s1, t1))
+            out = jax.nn.relu(int8_conv(
+                out, k2 * s2, t2,
+                strides=(self.stride, self.stride),
+                padding=[(self.dilation, self.dilation)] * 2,
+                dilation=(self.dilation, self.dilation),
+            ))
+            out = int8_conv(out, k3 * s3, t3)
+            if self.downsample:
+                sd, td = bnd.scale_shift()
+                identity = int8_conv(
+                    x, kd * sd, td, strides=(self.stride, self.stride)
+                )
+            else:
+                identity = x
+            return jax.nn.relu(out + identity)
 
         identity = x
         out = jax.nn.relu(bn1(_conv(x, k1)))
@@ -213,6 +239,7 @@ class ResNet(nn.Module):
     name_id: str = "resnet50"
     dilation: bool = False  # replace layer4 stride with dilation (paper.py:95)
     use_space_to_depth: bool = False
+    int8: bool = False  # int8 PTQ inference path for every trunk conv
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -265,17 +292,32 @@ class ResNet(nn.Module):
             s, t = bn1.scale_shift()
             x = fused_stem(x, w4 * s, t)
         else:
+            int8_stem = self.int8 and deterministic
+            if int8_stem:
+                from future_od_tpu.ops.quant import int8_conv
+
+                s, t = bn1.scale_shift()
             if self.use_space_to_depth:
-                x = _conv(x, k1, padding=[(2, 1), (2, 1)])
+                if int8_stem:
+                    x = int8_conv(x, k1 * s, t, padding=[(2, 1), (2, 1)])
+                else:
+                    x = _conv(x, k1, padding=[(2, 1), (2, 1)])
             elif s2d_math:
                 x = _conv(
                     space_to_depth(x),
                     stem_weights_to_space_to_depth(k1),
                     padding=[(2, 1), (2, 1)],
                 )
+            elif int8_stem:
+                x = int8_conv(
+                    x, k1 * s, t, strides=(2, 2), padding=[(3, 3), (3, 3)]
+                )
             else:
                 x = _conv(x, k1, strides=(2, 2), padding=[(3, 3), (3, 3)])
-            x = jax.nn.relu(bn1(x))
+            if not int8_stem:
+                x = jax.nn.relu(bn1(x))
+            else:
+                x = jax.nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         planes = 64
@@ -301,6 +343,7 @@ class ResNet(nn.Module):
                         str(stage_idx)
                         in os.environ.get("FUTURE_OD_FUSE_STAGES", "01")
                     ),
+                    int8=self.int8,
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic=deterministic)
             planes *= 2
@@ -317,11 +360,13 @@ class CDetrBackbone(nn.Module):
     name_id: str = "resnet50"
     dilation: bool = False
     use_space_to_depth: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         features = ResNet(
-            self.name_id, self.dilation, self.use_space_to_depth, name="body"
+            self.name_id, self.dilation, self.use_space_to_depth, self.int8,
+            name="body"
         )(x, deterministic=deterministic)
         return nn.Conv(
             self.hidden_dim, (1, 1), kernel_init=conv_init, name="input_proj"

@@ -77,6 +77,9 @@ class SpatioTemporalDETRArgs:
     # 3-channel 7x7/2 conv; pack on the HOST loader (12-channel video) to
     # avoid the on-device transpose (BENCHMARKS.md round 2)
     space_to_depth: bool = False
+    # int8 post-training quantization of the backbone trunk (inference only;
+    # training always runs the float path). See ops/quant.py.
+    int8_backbone: bool = False
 
     def criterion_config(self, matching_mode: str = "per level") -> CriterionConfig:
         return CriterionConfig(
