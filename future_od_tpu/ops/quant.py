@@ -46,7 +46,9 @@ def quantize_act_per_tensor(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Activation tensor -> (int8 tensor, scalar float32 scale), dynamic
     abs-max symmetric quantization."""
     x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32))
+    # initial= keeps zero-size inputs legal (the float conv path accepts
+    # them, e.g. degenerate 1-frame clips through a future-pred core)
+    amax = jnp.max(jnp.abs(x32), initial=0.0)
     scale = jnp.maximum(amax, 1e-12) / QMAX
     q = jnp.clip(jnp.round(x32 / scale), -QMAX, QMAX).astype(jnp.int8)
     return q, scale

@@ -115,6 +115,11 @@ def add_tpu_args(parser):
         "(loader packs per sample; see models/resnet.py)",
     )
     parser.add_argument(
+        "--int8", action="store_true", default=False,
+        help="int8 PTQ backbone for inference/eval (ops/quant.py; training "
+        "steps always run the float path)",
+    )
+    parser.add_argument(
         "--loader", default="thread", choices=["thread", "grain"],
         help="input pipeline backend: thread pool (native decode releases "
         "the GIL) or grain worker processes (python-heavy datasets)",

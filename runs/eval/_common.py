@@ -60,6 +60,8 @@ def run_eval(
         lr_backbone=1e-4,
         encode_offset=encode_offset,
         matcher=args.matcher,
+        space_to_depth=args.s2d,
+        int8_backbone=args.int8,
     )
     model = (model_builder or build_model)(args, detr_args)
     print("built model")

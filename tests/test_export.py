@@ -127,3 +127,25 @@ def test_export_streaming_pair(tiny_model):
         np.testing.assert_allclose(
             np.asarray(live[k]), np.asarray(aot[k]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_export_int8_backbone_roundtrip(tmp_path):
+    # the int8 PTQ program (ops/quant.py) must export/reload like the float
+    # one — quantize ops and int32-accumulation convs are plain StableHLO
+    rng = np.random.default_rng(3)
+    model = build_flagship(tiny_args(int8_backbone=True))
+    data = make_data(rng, 1, 3, 64, 96)
+    variables = model.init(
+        {"params": jax.random.key(0)}, data, deterministic=True
+    )
+    path = tmp_path / "infer_int8.stablehlo"
+    export_inference(
+        model, variables, data, platforms=("cpu",), path=str(path)
+    )
+    served = load_serving(str(path))
+    live = jax.jit(make_inference_fn(model))(variables, data)
+    aot = served(variables, data)
+    for k in live:
+        np.testing.assert_allclose(
+            np.asarray(live[k]), np.asarray(aot[k]), rtol=1e-5, atol=1e-5
+        )
