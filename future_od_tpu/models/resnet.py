@@ -155,22 +155,24 @@ class Bottleneck(nn.Module):
         if self.int8 and deterministic:
             # Inference-only int8 path: frozen-BN folded into the quantized
             # per-channel kernels, int32 MXU accumulation (ops/quant.py).
-            from future_od_tpu.ops.quant import int8_conv
+            # Every conv input here is post-ReLU (non-negative), so the
+            # zero-point-128 variant recovers the full 8-bit range.
+            from future_od_tpu.ops.quant import int8_conv_nonneg
 
             s1, t1 = bn1.scale_shift()
             s2, t2 = bn2.scale_shift()
             s3, t3 = bn3.scale_shift()
-            out = jax.nn.relu(int8_conv(x, k1 * s1, t1))
-            out = jax.nn.relu(int8_conv(
+            out = jax.nn.relu(int8_conv_nonneg(x, k1 * s1, t1))
+            out = jax.nn.relu(int8_conv_nonneg(
                 out, k2 * s2, t2,
                 strides=(self.stride, self.stride),
                 padding=[(self.dilation, self.dilation)] * 2,
                 dilation=(self.dilation, self.dilation),
             ))
-            out = int8_conv(out, k3 * s3, t3)
+            out = int8_conv_nonneg(out, k3 * s3, t3)
             if self.downsample:
                 sd, td = bnd.scale_shift()
-                identity = int8_conv(
+                identity = int8_conv_nonneg(
                     x, kd * sd, td, strides=(self.stride, self.stride)
                 )
             else:
@@ -281,6 +283,13 @@ class ResNet(nn.Module):
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         )
+        # FUTURE_OD_INT8_SKIP: comma list of "stem" / stage indices
+        # ("1".."4") kept in float under int8 PTQ — the standard
+        # skip-first-layer mitigation plus per-stage diagnosis surface
+        int8_skip = set(
+            t for t in os.environ.get("FUTURE_OD_INT8_SKIP", "").split(",")
+            if t
+        )
         if fuse_stem:
             # conv + BN + ReLU + maxpool in one Pallas kernel over s2d input
             # (the 3-channel 7x7 conv is the most MXU-hostile op here).
@@ -292,7 +301,7 @@ class ResNet(nn.Module):
             s, t = bn1.scale_shift()
             x = fused_stem(x, w4 * s, t)
         else:
-            int8_stem = self.int8 and deterministic
+            int8_stem = self.int8 and deterministic and "stem" not in int8_skip
             if int8_stem:
                 from future_od_tpu.ops.quant import int8_conv
 
@@ -343,7 +352,7 @@ class ResNet(nn.Module):
                         str(stage_idx)
                         in os.environ.get("FUTURE_OD_FUSE_STAGES", "01")
                     ),
-                    int8=self.int8,
+                    int8=self.int8 and str(stage_idx + 1) not in int8_skip,
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic=deterministic)
             planes *= 2

@@ -29,6 +29,33 @@ import jax.numpy as jnp
 QMAX = 127.0
 
 
+def smooth_factors(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Per-INPUT-channel scale-migration factors m (SmoothQuant, α=0.5).
+
+    Outlier input channels (ratios of 10-60x between the tensor abs-max and
+    the median channel abs-max were measured on a converged backbone —
+    BENCHMARKS.md round 3) make per-tensor activation quantization lossy: one
+    hot channel sets the scale and the rest collapse to a few levels.
+    Dividing x by m and multiplying the matching kernel input slice by m is
+    an EXACT rewrite of the conv; choosing m_c = sqrt(amax(x_c)/colmax(w_c))
+    equalizes the two sides' dynamic ranges so both int8 quantizations see
+    ~sqrt of the original channel spread. Costs one per-channel reduction and
+    one elementwise divide (fused by XLA); the conv stays pure int8.
+    """
+    x32 = x.astype(jnp.float32)
+    act_amax = jnp.max(jnp.abs(x32), axis=tuple(range(x.ndim - 1)), initial=0.0)
+    w32 = kernel.astype(jnp.float32)
+    # per-input-channel kernel abs-max: reduce every axis except input (-2)
+    w_axes = tuple(i for i in range(kernel.ndim) if i != kernel.ndim - 2)
+    w_amax = jnp.max(jnp.abs(w32), axis=w_axes)
+    m = jnp.sqrt(
+        jnp.maximum(act_amax, 1e-12) / jnp.maximum(w_amax, 1e-12)
+    )
+    # dead channels (all-zero activations) keep m = 1 to avoid inflating the
+    # folded kernel with activation ranges that never materialize
+    return jnp.where(act_amax > 0.0, m, 1.0)
+
+
 def quantize_weight_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HWIO kernel -> (int8 kernel, float32 per-output-channel scale).
 
@@ -54,6 +81,58 @@ def quantize_act_per_tensor(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def int8_conv_nonneg(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    strides: Sequence[int] = (1, 1),
+    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0)),
+    dilation: Sequence[int] = (1, 1),
+) -> jnp.ndarray:
+    """int8 conv for NON-NEGATIVE (post-ReLU) inputs with the full 8-bit
+    range recovered via a fixed zero-point of 128.
+
+    Symmetric int8 wastes the sign bit on post-ReLU activations (effective
+    7-bit resolution — measured as a 0.28 AP50 drop on a converged model,
+    BENCHMARKS.md round 3). Here q = round(x/s) - 128 with s = max(x)/255,
+    so x ≈ s·(q + 128). Exactness under zero-padding: padding is applied in
+    the QUANTIZED domain with value -128 (which represents x = 0), making
+    conv(x)/s == conv_valid(q_pad) + 128·Σw[c] with the correction constant
+    per output channel — folded into the bias, no border terms. Both conv
+    operands remain int8 with int32 MXU accumulation.
+    """
+    out_dtype = x.dtype
+    m = smooth_factors(x, kernel)
+    wq, ws = quantize_weight_per_channel(
+        kernel.astype(jnp.float32) * m[None, None, :, None]
+    )
+    x32 = x.astype(jnp.float32) / m
+    amax = jnp.max(x32, initial=0.0)  # x >= 0: max is the range
+    scale = jnp.maximum(amax, 1e-12) / 255.0
+    q = (
+        jnp.clip(jnp.round(x32 / scale), 0.0, 255.0) - 128.0
+    ).astype(jnp.int8)
+    pH, pW = tuple(padding[0]), tuple(padding[1])
+    if pH != (0, 0) or pW != (0, 0):
+        q = jnp.pad(
+            q, ((0, 0), pH, pW, (0, 0)), constant_values=jnp.int8(-128)
+        )
+    acc = jax.lax.conv_general_dilated(
+        q, wq, tuple(strides), [(0, 0), (0, 0)],
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    # zero-point correction: 128 · Σ_{h,w,i} wq per output channel (int32)
+    zp_corr = 128 * jnp.sum(
+        wq.astype(jnp.int32), axis=tuple(range(wq.ndim - 1))
+    )
+    out = (acc + zp_corr).astype(jnp.float32) * (scale * ws)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 def int8_conv(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -69,8 +148,11 @@ def int8_conv(
     int32 accumulation, dequantizes, adds bias. Output dtype follows x.
     """
     out_dtype = x.dtype
-    wq, ws = quantize_weight_per_channel(kernel)
-    xq, xs = quantize_act_per_tensor(x)
+    m = smooth_factors(x, kernel)
+    wq, ws = quantize_weight_per_channel(
+        kernel.astype(jnp.float32) * m[None, None, :, None]
+    )
+    xq, xs = quantize_act_per_tensor(x.astype(jnp.float32) / m)
     acc = jax.lax.conv_general_dilated(
         xq, wq, tuple(strides), list(padding),
         rhs_dilation=tuple(dilation),

@@ -12,8 +12,10 @@ import jax.numpy as jnp
 from future_od_tpu.models.resnet import CDetrBackbone
 from future_od_tpu.ops.quant import (
     int8_conv,
+    int8_conv_nonneg,
     quantize_act_per_tensor,
     quantize_weight_per_channel,
+    smooth_factors,
 )
 
 
@@ -74,6 +76,85 @@ class TestQuantPrimitives:
         x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.bfloat16)
         w = jnp.asarray(rng.normal(size=(1, 1, 4, 4)), jnp.bfloat16)
         assert int8_conv(x, w).dtype == jnp.bfloat16
+        assert int8_conv_nonneg(jnp.abs(x), w).dtype == jnp.bfloat16
+
+    def test_nonneg_conv_close_to_float(self, rng):
+        # post-ReLU inputs: the zero-point-128 variant must match the float
+        # conv at least as well as the symmetric one (full 8-bit range)
+        x = jnp.asarray(
+            np.abs(rng.normal(size=(2, 16, 16, 8))).astype(np.float32)
+        )
+        w = jnp.asarray(
+            (rng.normal(size=(3, 3, 8, 16)) * 0.1).astype(np.float32)
+        )
+        b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        got = int8_conv_nonneg(x, w, b, padding=[(1, 1), (1, 1)])
+        rel_nn = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        rel_sym = float(
+            jnp.linalg.norm(int8_conv(x, w, b, padding=[(1, 1), (1, 1)]) - ref)
+            / jnp.linalg.norm(ref)
+        )
+        assert rel_nn < 0.02, rel_nn
+        assert rel_nn <= rel_sym + 1e-4, (rel_nn, rel_sym)
+
+    def test_nonneg_conv_stride_dilation_match_float(self, rng):
+        # zero-point padding + per-channel correction must stay exact under
+        # stride/dilation geometry (borders are where a bug would show)
+        x = jnp.asarray(
+            np.abs(rng.normal(size=(1, 16, 20, 4))).astype(np.float32)
+        )
+        w = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32) * 0.1)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (2, 2), [(2, 2), (2, 2)], rhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = int8_conv_nonneg(
+            x, w, strides=(2, 2), padding=[(2, 2), (2, 2)], dilation=(2, 2)
+        )
+        assert got.shape == ref.shape
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel
+
+    def test_smoothing_improves_outlier_channels(self, rng, monkeypatch):
+        # one hot input channel (100x the rest) — the scale-migration path
+        # must beat a unit-smoothed quantization by a clear margin
+        from future_od_tpu.ops import quant
+
+        ch_scale = np.ones(8, np.float32)
+        ch_scale[3] = 100.0
+        x = jnp.asarray(
+            np.abs(rng.normal(size=(2, 16, 16, 8))).astype(np.float32)
+            * ch_scale
+        )
+        w = jnp.asarray(
+            (rng.normal(size=(3, 3, 8, 16)) * 0.1).astype(np.float32)
+        )
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = int8_conv_nonneg(x, w, padding=[(1, 1), (1, 1)])
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        monkeypatch.setattr(
+            quant, "smooth_factors",
+            lambda x_, k_: jnp.ones((x_.shape[-1],), jnp.float32),
+        )
+        got_unsmoothed = quant.int8_conv_nonneg(x, w, padding=[(1, 1), (1, 1)])
+        rel_no = float(
+            jnp.linalg.norm(got_unsmoothed - ref) / jnp.linalg.norm(ref)
+        )
+        assert rel < rel_no, (rel, rel_no)
+
+    def test_smooth_factors_zero_channel_safe(self, rng):
+        x = jnp.asarray(np.zeros((1, 4, 4, 4), np.float32))
+        w = jnp.asarray(rng.normal(size=(1, 1, 4, 4)).astype(np.float32))
+        m = smooth_factors(x, w)
+        assert np.isfinite(np.asarray(m)).all()
+        np.testing.assert_array_equal(np.asarray(m), np.ones(4, np.float32))
 
 
 class TestInt8Backbone:

@@ -31,8 +31,10 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 12))
     H, W = 896, 1600
+    # BENCH_INT8=1: serve with the int8 PTQ backbone (see bench.py / ops/quant.py)
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
     args = SpatioTemporalDETRArgs(
-        num_classes=8, num_queries=128, lr_backbone=1e-4
+        num_classes=8, num_queries=128, lr_backbone=1e-4, int8_backbone=int8
     )
     model = build_flagship(args)
     rng = np.random.default_rng(0)
@@ -89,7 +91,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"clips_per_sec_per_chip_streaming_b{B}_896x1600",
+                "metric": "clips_per_sec_per_chip_streaming"
+                + ("_int8" if int8 else "")
+                + f"_b{B}_896x1600",
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / 40.0, 3),

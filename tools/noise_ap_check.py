@@ -1,0 +1,113 @@
+"""Falsification arm for the int8 class-0 fit-AP drop.
+
+Evaluate the FLOAT drift_base checkpoint with iid gaussian noise injected at
+the backbone output, at a relative Frobenius magnitude matching the measured
+int8 feature error (--rel, default 0.014). If the class-0 fit AP collapses
+like int8's did (0.92 -> 0.63), the overfit testbed is brittle to ANY small
+feature perturbation and the int8 drop says nothing about real workloads;
+if float+noise holds, the int8 error is structured and damaging.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from future_od_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from future_od_tpu.data.loader import Loader, VAL_SEED
+from future_od_tpu.data.synthetic import CATEGORY_DICT, SyntheticClipDataset
+from future_od_tpu.models import resnet
+from future_od_tpu.models.build import build_single_frame
+from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+from future_od_tpu.train.trainer import Trainer
+from future_od_tpu.utils.wandb import WandBConfig
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", default="/root/repo/checkpoints/drift_base")
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--rel", type=float, default=0.014)
+    parser.add_argument("--out", default="/tmp/noise_ap.json")
+    args = parser.parse_args()
+
+    detr_args = SpatioTemporalDETRArgs(
+        num_classes=2, num_queries=32, hidden_dim=128, enc_layers=2,
+        dec_layers=3, dim_feedforward=512, enc_nheads=8, nheads=8,
+        lr=3e-4, lr_backbone=3e-4, int8_backbone=False,
+    )
+    model = build_single_frame(detr_args, use_imu=False)
+    fit_ds = SyntheticClipDataset(
+        num_samples=256, num_frames=1, image_size=(128, 192), max_objects=4,
+        seed=1,
+    )
+    val_ds = SyntheticClipDataset(
+        num_samples=64, num_frames=1, image_size=(128, 192), max_objects=4,
+        seed=2,
+    )
+    trainer = Trainer(
+        model=model,
+        detr_args=detr_args,
+        train_loader=Loader(val_ds, batch_size=args.batch, num_workers=2),
+        val_loaders={
+            "fit": Loader(fit_ds, batch_size=args.batch, seed=VAL_SEED,
+                          num_workers=2),
+            "val0": Loader(val_ds, batch_size=args.batch, seed=VAL_SEED,
+                           num_workers=2),
+        },
+        checkpoint_path=os.path.dirname(args.ckpt) or ".",
+        visualization_path="visualization/noise_ap",
+        save_name=os.path.basename(args.ckpt),
+        category_dict=CATEGORY_DICT,
+        print_interval=1000,
+        wandb_config=WandBConfig(enabled=False),
+        freeze_backbone_stem=False,
+        seed=0,
+    )
+    trainer.load_checkpoint(args.ckpt)
+
+    rel = args.rel
+
+    def interceptor(next_fun, fargs, fkwargs, context):
+        out = next_fun(*fargs, **fkwargs)
+        if (isinstance(context.module, resnet.CDetrBackbone)
+                and context.method_name == "__call__"):
+            f32 = out.astype(jnp.float32)
+            rms = jnp.sqrt(jnp.mean(f32 ** 2))
+            # data-dependent seed so each batch gets a different draw while
+            # staying jit-traceable and deterministic across float arms
+            seed = (jnp.sum(f32) * 1e3).astype(jnp.int32)
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed), out.shape, jnp.float32
+            )
+            out = (f32 + rel * rms * noise).astype(out.dtype)
+            print(f"[noise_ap] injecting rel={rel} noise at backbone out "
+                  f"{out.shape}", flush=True)
+        return out
+
+    with nn.intercept_methods(interceptor):
+        trainer._run_eval()
+
+    result = {"rel": rel}
+    for mode in ("fit", "val0"):
+        ap = trainer._ap_by_mode[mode]["all"]
+        result[mode] = {
+            "ap50": [float(v) for v in ap[0, :, 0]],
+            "map": [float(v) for v in np.nanmean(ap[:, :, 0], axis=0)],
+        }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,13 @@ def evaluate(int8: bool, ckpt: str, batch: int) -> dict:
         lr=3e-4, lr_backbone=3e-4, int8_backbone=int8,
     )
     model = build_single_frame(detr_args, use_imu=False)
+    # evaluate on the TRAIN split (AP50 ~0.86/0.95 after the drift-base run):
+    # the held-out split sits near the AP noise floor on this tiny synthetic
+    # task, so quantization deltas are only measurable where AP is converged
+    fit_ds = SyntheticClipDataset(
+        num_samples=256, num_frames=1, image_size=(128, 192), max_objects=4,
+        seed=1,
+    )
     val_ds = SyntheticClipDataset(
         num_samples=64, num_frames=1, image_size=(128, 192), max_objects=4,
         seed=2,
@@ -48,7 +55,8 @@ def evaluate(int8: bool, ckpt: str, batch: int) -> dict:
         detr_args=detr_args,
         train_loader=Loader(val_ds, batch_size=batch, num_workers=2),
         val_loaders={
-            "val0": Loader(val_ds, batch_size=batch, seed=VAL_SEED, num_workers=2)
+            "fit": Loader(fit_ds, batch_size=batch, seed=VAL_SEED, num_workers=2),
+            "val0": Loader(val_ds, batch_size=batch, seed=VAL_SEED, num_workers=2),
         },
         checkpoint_path=os.path.dirname(ckpt) or ".",
         visualization_path="visualization/quant_ap_check",
@@ -62,11 +70,14 @@ def evaluate(int8: bool, ckpt: str, batch: int) -> dict:
     )
     trainer.load_checkpoint(ckpt)
     trainer._run_eval()
-    ap = trainer._ap_by_mode["val0"]["all"]  # (thresh?, class, size) layout
-    return {
-        "ap50": [float(v) for v in ap[0, :, 0]],
-        "map": [float(v) for v in np.nanmean(ap[:, :, 0], axis=0)],
-    }
+    out = {}
+    for mode in ("fit", "val0"):
+        ap = trainer._ap_by_mode[mode]["all"]  # (thresh, class, size) layout
+        out[mode] = {
+            "ap50": [float(v) for v in ap[0, :, 0]],
+            "map": [float(v) for v in np.nanmean(ap[:, :, 0], axis=0)],
+        }
+    return out
 
 
 def main():
@@ -80,10 +91,13 @@ def main():
     for name, int8 in (("float", False), ("int8", True)):
         results[name] = evaluate(int8, args.ckpt, args.batch)
         print(name, results[name], flush=True)
-    results["ap50_abs_delta"] = [
-        abs(a - b)
-        for a, b in zip(results["float"]["ap50"], results["int8"]["ap50"])
-    ]
+    for mode in ("fit", "val0"):
+        results[f"{mode}_ap50_abs_delta"] = [
+            abs(a - b)
+            for a, b in zip(
+                results["float"][mode]["ap50"], results["int8"][mode]["ap50"]
+            )
+        ]
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
