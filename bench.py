@@ -49,10 +49,14 @@ def main():
     # BENCH_INT8=1: int8 PTQ backbone (ops/quant.py) — per-channel int8
     # weights with frozen-BN folded in, dynamic per-tensor int8 activations,
     # int32 MXU accumulation
+    # BENCH_ENC_LAYERS / BENCH_DEC_LAYERS: embedded-marginal-cost ablations
+    # for the roofline attribution (tools/roofline.py; BENCHMARKS.md round 3)
     args = SpatioTemporalDETRArgs(
         num_classes=8, num_queries=128, lr_backbone=1e-4,
         space_to_depth=host_s2d,
         int8_backbone=_os.environ.get("BENCH_INT8", "0") == "1",
+        enc_layers=int(_os.environ.get("BENCH_ENC_LAYERS", 6)),
+        dec_layers=int(_os.environ.get("BENCH_DEC_LAYERS", 6)),
     )
     model = build_flagship(args)
 
