@@ -227,6 +227,71 @@ def stem_weights_to_space_to_depth(w7: jnp.ndarray) -> jnp.ndarray:
     return w4.reshape(4, 4, 4 * c_in, c_out)
 
 
+def space_to_depth4(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/4, W/4, 16C), channel order (di, dj, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 4, 4, W // 4, 4, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
+
+
+def stem_weights_to_s2d4(w7: jnp.ndarray) -> jnp.ndarray:
+    """Transform the (7, 7, 3, 64) HWIO stem kernel into the exactly
+    equivalent (3, 3, 48, 256) kernel applied to 4x-space-to-depth input.
+
+    One packed block holds a 4x4 pixel tile, i.e. a 2x2 group of stride-2
+    conv outputs — so the packed conv emits all four as output channels
+    (a, b, c): conv7x7 output pixel (2p+a, 2q+b, c) lands in packed cell
+    (p, q). Derivation: output row i=2p+a reads unpacked rows 2i+ki-3; the
+    packed conv (kernel 3, pad 1) reads rows 4(p+kp-1)+di, so
+    ki = 4*kp + di - 2a - 1 (outside [0,7) -> zero weight; the
+    decomposition (kp, di) of each ki is unique, so coverage is exact).
+    The payoff vs the 2x s2d stem: contraction depth 48 and 4x fewer
+    spatial positions keep the MXU busy, and the 2x2 output group never
+    needs a depth-to-space transpose because `s2d4_stem_pool` consumes it
+    in packed form.
+    """
+    kh, kw, c_in, c_out = w7.shape
+    assert (kh, kw) == (7, 7)
+    w3 = jnp.zeros((3, 3, 4, 4, c_in, 2, 2, c_out), w7.dtype)
+    for kp in range(3):
+        for lp in range(3):
+            for di in range(4):
+                for dj in range(4):
+                    for a in range(2):
+                        for b in range(2):
+                            ki = 4 * kp + di - 2 * a - 1
+                            kj = 4 * lp + dj - 2 * b - 1
+                            if 0 <= ki < 7 and 0 <= kj < 7:
+                                w3 = w3.at[kp, lp, di, dj, :, a, b].set(
+                                    w7[ki, kj]
+                                )
+    return w3.reshape(3, 3, 16 * c_in, 4 * c_out)
+
+
+def s2d4_stem_pool(y: jnp.ndarray) -> jnp.ndarray:
+    """maxpool 3x3/2 pad 1 computed directly on the s2d(4) stem conv output
+    (B, P, Q, (a, b, C)) — no depth-to-space transpose ever materializes.
+
+    Pool output (p, q) covers conv rows 2p-1..2p+1 = packed (p-1, a=1),
+    (p, a=0), (p, a=1) (cols likewise), so the 3x3 window factorizes into a
+    column max over the b slices followed by a row max over the a slices.
+    Inputs are post-ReLU (>= 0) and every window contains a real pixel, so
+    zero-padding the shifted slices is exactly the reference -inf padding.
+    """
+    C = y.shape[-1] // 4
+    y00, y01, y10, y11 = (y[..., i * C : (i + 1) * C] for i in range(4))
+
+    def shift_w(t):
+        return jnp.pad(t, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :-1]
+
+    def shift_h(t):
+        return jnp.pad(t, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
+
+    col0 = jnp.maximum(jnp.maximum(shift_w(y01), y00), y01)
+    col1 = jnp.maximum(jnp.maximum(shift_w(y11), y10), y11)
+    return jnp.maximum(jnp.maximum(shift_h(col1), col0), col1)
+
+
 class ResNet(nn.Module):
     """ResNet backbone trunk returning the layer4 feature map (stride 32, or
     16 with dilation), NHWC.

@@ -29,44 +29,67 @@ NEG_INF = -1e30
 LSE_LANES = 128  # lse/delta rows are lane-broadcast for legal TPU tiling
 
 
+LOG2E = 1.4426950408889634
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, kv_len, block_k):
     """One (batch·head, q-block) program: online-softmax over k blocks.
 
     q_ref: (1, block_q, d); k_ref: (1, Nk_padded, d); v_ref: (1, Nk_padded, dv);
     out_ref: (1, block_q, dv).
+
+    The softmax is VPU-bound at encoder shapes (the score tensor is ~60x the
+    activation volume), so two per-element ops are shaved with identical
+    semantics: exp runs in base 2 with log2(e) folded into the q scale
+    (exp2(log2e·(s−m)) ≡ exp(s−m), elementwise-exact), and the padded-key
+    mask (iota + compare + select) runs only on the single block that
+    actually contains padding instead of on every block.
     """
     block_q = q_ref.shape[1]
     d_v = v_ref.shape[-1]
     nk_padded = k_ref.shape[1]
     num_kb = nk_padded // block_k
+    num_clean = kv_len // block_k  # blocks with no padded key
 
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
 
-    def body(kb, carry):
-        acc, row_max, row_sum = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-        # Mask padded keys.
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < kv_len, logits, NEG_INF)
+    def make_body(masked):
+        def body(kb, carry):
+            acc, row_max, row_sum = carry
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, block_k)
+            if masked:
+                col = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, logits.shape, 1
+                )
+                logits = jnp.where(col < kv_len, logits, NEG_INF)
 
-        new_max = jnp.maximum(row_max, logits.max(axis=1, keepdims=True))
-        correction = jnp.exp(row_max - new_max)
-        p = jnp.exp(logits - new_max)
-        new_sum = row_sum * correction + p.sum(axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        new_acc = acc * correction + pv
-        return new_acc, new_max, new_sum
+            new_max = jnp.maximum(row_max, logits.max(axis=1, keepdims=True))
+            correction = jnp.exp2(row_max - new_max)
+            p = jnp.exp2(logits - new_max)
+            new_sum = row_sum * correction + p.sum(axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new_acc = acc * correction + pv
+            return new_acc, new_max, new_sum
 
-    acc = jnp.zeros((block_q, d_v), jnp.float32)
-    row_max = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    row_sum = jnp.zeros((block_q, 1), jnp.float32)
-    acc, row_max, row_sum = jax.lax.fori_loop(0, num_kb, body, (acc, row_max, row_sum))
+        return body
+
+    carry = (
+        jnp.zeros((block_q, d_v), jnp.float32),
+        jnp.full((block_q, 1), NEG_INF, jnp.float32),
+        jnp.zeros((block_q, 1), jnp.float32),
+    )
+    carry = jax.lax.fori_loop(0, num_clean, make_body(False), carry)
+    if num_kb > num_clean:  # static: at most one block holds padded keys
+        carry = make_body(True)(num_clean, carry)
+    acc, row_max, row_sum = carry
     out_ref[0] = (acc / row_sum).astype(out_ref.dtype)
 
 
@@ -87,18 +110,43 @@ def flash_attention(
     k: jnp.ndarray,  # (B, H, Nk, d)
     v: jnp.ndarray,  # (B, H, Nk, dv)
     scale: float,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(q·kᵀ·scale)·v without materializing logits. Returns
-    (B, H, Nq, dv) in q's dtype."""
+    (B, H, Nq, dv) in q's dtype.
+
+    Block sizes default to whole-sequence blocks (one program per (b, h),
+    k-length padded to 128 instead of a block multiple) subject to a VMEM
+    cap on the f32 logits tile: at encoder shapes (B·H=192, T=1400) the
+    shipped fixed blocks ran 1152 tiny programs per layer and per-program
+    overhead dominated — measured 5.95 ms vs 4.62 ms whole-sequence
+    (tools/bench_flash_blocks.py, chained timing, b24).
+    """
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
     dv = v.shape[3]
 
-    block_q = min(block_q, max(8, Nq))
-    block_k = min(block_k, max(128, Nk))
+    import os
+
+    if block_q is None:
+        # q-block cap: whole-sequence q blocks won standalone but LOST
+        # embedded (bench.py 111.3 -> 105.3 with bq=1400/bk=1536 at the
+        # encoder shape) — the large f32 logits tile starves XLA's
+        # surrounding fusions of VMEM. Default stays moderate; env knobs
+        # for A/B (FUTURE_OD_FLASH_BQ / _BK).
+        cap_q = int(os.environ.get("FUTURE_OD_FLASH_BQ", DEFAULT_BLOCK_Q))
+        block_q = min(-(-Nq // 16) * 16, cap_q)
+    if block_k is None:
+        cap_k = int(os.environ.get("FUTURE_OD_FLASH_BK", DEFAULT_BLOCK_K))
+        block_k = min(-(-Nk // 128) * 128, cap_k)
+        # keep the f32 logits tile under ~12 MB of VMEM
+        while block_q * block_k * 4 > 12 * 1024 * 1024 and block_k > 512:
+            block_k //= 2
+        block_k = -(-block_k // 128) * 128
+    block_q = min(block_q, max(8, -(-Nq // 8) * 8))
+    block_k = min(block_k, max(128, -(-Nk // 128) * 128))
     nq_pad = -(-Nq // block_q) * block_q
     nk_pad = -(-Nk // block_k) * block_k
 

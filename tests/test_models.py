@@ -295,6 +295,33 @@ class TestSpaceToDepthStem:
         )
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
 
+    def test_s2d4_stem_and_pool_exact(self, rng):
+        """s2d(4) variant: conv3x3/1 over (H/4, W/4, 48) + transpose-free
+        maxpool equals the reference conv7x7/2 + relu + maxpool3x3/2."""
+        import jax.numpy as jnp
+        from future_od_tpu.models.resnet import (
+            space_to_depth4,
+            stem_weights_to_s2d4,
+            s2d4_stem_pool,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)).astype(np.float32))
+        w7 = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32))
+        c = jax.lax.conv_general_dilated(
+            x, w7, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        ref = jax.lax.reduce_window(
+            jax.nn.relu(c), -jnp.inf, jax.lax.max,
+            (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+        )
+        y = jax.lax.conv_general_dilated(
+            space_to_depth4(x), stem_weights_to_s2d4(w7), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = s2d4_stem_pool(jax.nn.relu(y))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
     def test_backbone_flag(self, rng):
         from future_od_tpu.models.resnet import CDetrBackbone
 

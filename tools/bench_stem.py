@@ -359,6 +359,70 @@ def check_interpret():
     print("interpret check OK")
 
 
+# --------------------------------------------------------------------------
+# Host-packed variants (loader emits packed frames; packing happens OUTSIDE
+# the timed program — the deployment shape after round 3's Loader work) and
+# the s2d(4) stem: conv3x3/1 over (H/4, W/4, 48) with a (3,3,48,256) kernel
+# whose 2x2 output group is consumed in packed form by s2d4_stem_pool — no
+# depth-to-space transpose, contraction depth 48.
+# --------------------------------------------------------------------------
+
+from future_od_tpu.models.resnet import (  # noqa: E402
+    space_to_depth4,
+    stem_weights_to_s2d4,
+    s2d4_stem_pool,
+)
+
+
+def s2d_host(s, w4):
+    c = jax.lax.conv_general_dilated(
+        s, w4, (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return pool(jax.nn.relu(c))
+
+
+def s2d4_host(x48, w3):
+    c = jax.lax.conv_general_dilated(
+        x48, w3, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return s2d4_stem_pool(jax.nn.relu(c))
+
+
+def s2d4_im2col(x48, w3):
+    B, Hp, Wp, _ = x48.shape
+    xp = jnp.pad(x48, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pats = jnp.concatenate(
+        [xp[:, di : di + Hp, dj : dj + Wp] for di in range(3)
+         for dj in range(3)],
+        axis=-1,
+    )
+    c = jnp.einsum("bhwk,ko->bhwo", pats, w3.reshape(9 * 48, 256))
+    return s2d4_stem_pool(jax.nn.relu(c))
+
+
+def timeit_chained(fn, x0, w, iters=8, warmup=1):
+    """Chained-iteration timing inside ONE jitted program (per-dispatch host
+    overhead through the axon tunnel poisons loop timings — BENCHMARKS.md
+    round-2 measurement discipline)."""
+
+    @jax.jit
+    def chained(x0, w):
+        def body(c, _):
+            out = fn(x0 + c, w)
+            return (out.reshape(-1)[0] * 1e-30).astype(x0.dtype), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), x0.dtype), None, length=iters)
+        return c
+
+    for _ in range(warmup):
+        np.asarray(chained(x0, w))
+    t0 = time.perf_counter()
+    np.asarray(chained(x0, w))
+    return (time.perf_counter() - t0) / iters * 1000
+
+
 def main():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -366,24 +430,29 @@ def main():
 
     enable_compilation_cache()
     rng = np.random.default_rng(0)
-    B, H, W = 12, 896, 1600
+    B, H, W = 24, 896, 1600  # b12 x 2 frames: the embedded backbone batch
     x = jnp.asarray(
         rng.normal(size=(B, H, W, 3)).astype(np.float32)
     ).astype(jnp.bfloat16)
     w7 = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1)
+    x12 = space_to_depth(x)
+    x48 = space_to_depth4(x)
+    w4 = stem_w_to_s2d(w7).astype(x.dtype)
+    w3 = stem_weights_to_s2d4(w7).astype(x.dtype)
 
     ref = None
-    for name, fn in [
-        ("xla7x7", xla7x7),
-        ("xla_s2d", xla_s2d),
-        ("pallasB16", pallasB16),
+    for name, fn, xin, win in [
+        ("xla7x7", xla7x7, x, w7),
+        ("s2d_host", s2d_host, x12, w4),
+        ("s2d4_host", s2d4_host, x48, w3),
+        ("s2d4_im2col", s2d4_im2col, x48, w3),
     ]:
         try:
-            out = np.asarray(fn(x, w7), np.float32)
+            out = np.asarray(fn(xin, win), np.float32)
             if ref is None:
                 ref = out
             err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
-            ms = timeit(fn, x, w7)
+            ms = timeit_chained(fn, xin, win)
             print(f"  {name:12s} {ms:7.2f} ms   relmax={err:.2e}", flush=True)
         except Exception as e:
             print(f"  {name} FAILED: {type(e).__name__}: {str(e)[:300]}",

@@ -22,6 +22,13 @@ import json
 PEAK_FLOPS = 197e12  # v5e bf16 MXU peak, FLOP/s
 HBM_BW = 819e9       # v5e HBM bandwidth, B/s
 BYTES = 2            # bf16
+# VPU elementwise throughput (op/s) and softmax cost model: the online
+# softmax touches every score element with ~5 VPU ops (max-reduce, subtract,
+# exp2, sum-reduce, + rescale amortized). 4e12 op/s is calibrated against the
+# measured 4.55 ms/encoder-layer at 3.8e9 scores (BENCHMARKS.md round 3) and
+# is consistent with v5e's ~940 MHz x 8x128-lane x ~4-slot VPU.
+PEAK_VPU = 4e12
+SOFTMAX_OPS_PER_SCORE = 5.0
 
 
 def conv_cost(B, H, W, Cin, Cout, k=1, stride=1):
@@ -32,11 +39,13 @@ def conv_cost(B, H, W, Cin, Cout, k=1, stride=1):
     return flops, bts
 
 
-def add_op(table, stage, name, flops, bts):
+def add_op(table, stage, name, flops, bts, vpu_ops=0.0):
     table.append({
         "stage": stage, "op": name, "gflops": flops / 1e9, "mbytes": bts / 1e6,
         "t_mxu_ms": flops / PEAK_FLOPS * 1e3, "t_hbm_ms": bts / HBM_BW * 1e3,
-        "t_sol_ms": max(flops / PEAK_FLOPS, bts / HBM_BW) * 1e3,
+        "t_sol_ms": max(
+            flops / PEAK_FLOPS, bts / HBM_BW, vpu_ops / PEAK_VPU
+        ) * 1e3,
     })
 
 
@@ -72,18 +81,22 @@ def resnet50(table, B, H, W):
             h, w, cin = ho, wo, cout
 
 
-def transformer(table, B, T, D, ffn, layers, stage, n_mem=1):
+def transformer(table, B, T, D, ffn, layers, stage, n_mem=1, heads=8, t_mem=None):
     """Aggregate matmul groups for encoder/decoder layers (flash attention
-    keeps the TxT score matrix on-chip, so attention traffic = QKV + out)."""
-    for name, flops, bts in [
+    keeps the TxT score matrix on-chip, so attention traffic = QKV + out;
+    the dominant attention cost at these shapes is the VPU softmax over
+    B·heads·T² scores — see PEAK_VPU)."""
+    t_mem = t_mem or T  # cross-attention key length (decoder: image tokens)
+    for name, flops, bts, vpu in [
         ("qkv+out proj", 2.0 * B * T * D * D * 4 * layers,
-         BYTES * B * T * D * (1 + 3 + 1 + 1) * layers),
-        ("attn (flash)", 2.0 * B * T * T * D * 2 * n_mem * layers,
-         BYTES * B * T * D * 3 * n_mem * layers),
+         BYTES * B * T * D * (1 + 3 + 1 + 1) * layers, 0.0),
+        ("attn (flash)", 2.0 * B * T * t_mem * D * 2 * n_mem * layers,
+         BYTES * B * t_mem * D * 3 * n_mem * layers,
+         SOFTMAX_OPS_PER_SCORE * B * heads * T * t_mem * n_mem * layers),
         ("ffn", 2.0 * B * T * D * ffn * 2 * layers,
-         BYTES * B * T * (D + ffn + D) * layers),
+         BYTES * B * T * (D + ffn + D) * layers, 0.0),
     ]:
-        add_op(table, stage, name, flops, bts)
+        add_op(table, stage, name, flops, bts, vpu)
 
 
 def main():
@@ -97,7 +110,7 @@ def main():
     T = (H // 32) * (W // 32)  # 1400 tokens/image
     transformer(table, B_clip * L, T, 256, 2048, 6, "encoder")
     # decoder: 128 queries, self-attn + cross-attn into L frame memories
-    transformer(table, B_clip, 128, 256, 2048, 6, "decoder", n_mem=L)
+    transformer(table, B_clip, 128, 256, 2048, 6, "decoder", n_mem=L, t_mem=T)
     f = 2.0 * B_clip * 128 * 256 * 256 * 2 * 6  # cross-attn q/k extra projs
     add_op(table, "decoder", "cond-qk proj", f, BYTES * B_clip * 128 * 256 * 6)
 
