@@ -31,7 +31,12 @@ def main():
     H = int(_os.environ.get("BENCH_H", 448))
     W = int(_os.environ.get("BENCH_W", 800))
     L, N = 3, 256
-    args = SpatioTemporalDETRArgs(num_classes=8, num_queries=128, lr_backbone=1e-4)
+    # BENCH_NO_STOPGRAD=1: keep the full backward through the frozen
+    # stem+layer1 (the pre-round-3 behavior) for the stop-gradient A/B
+    args = SpatioTemporalDETRArgs(
+        num_classes=8, num_queries=128, lr_backbone=1e-4,
+        freeze_stem=_os.environ.get("BENCH_NO_STOPGRAD", "0") != "1",
+    )
     model = build_flagship(args)
 
     rng = np.random.default_rng(0)

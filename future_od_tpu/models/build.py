@@ -35,6 +35,7 @@ def _separate_encoder(args: SpatioTemporalDETRArgs, use_imu: bool = True) -> Sep
         backbone_dilation=args.dilation,
         backbone_space_to_depth=args.space_to_depth,
         backbone_int8=args.int8_backbone,
+        backbone_freeze_stem=args.freeze_stem,
     )
 
 

@@ -307,6 +307,14 @@ class ResNet(nn.Module):
     dilation: bool = False  # replace layer4 stride with dilation (paper.py:95)
     use_space_to_depth: bool = False
     int8: bool = False  # int8 PTQ inference path for every trunk conv
+    # stop_grad_frozen: sever the backward graph at the stem+layer1 freeze
+    # boundary (paper.py:102-109 sets requires_grad=False there, which
+    # prunes torch's autograd the same way). Under the optimizer's frozen
+    # mask this is EXACT — those grads were computed then zeroed, and XLA
+    # cannot fold g*0 -> 0 (NaN semantics), so the whole stem+layer1
+    # backward was real work. Must be False when training from scratch
+    # (freeze_backbone_stem=False runs).
+    stop_grad_frozen: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -420,6 +428,8 @@ class ResNet(nn.Module):
                     int8=self.int8 and str(stage_idx + 1) not in int8_skip,
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic=deterministic)
+            if stage_idx == 0 and self.stop_grad_frozen:
+                x = jax.lax.stop_gradient(x)
             planes *= 2
         return x
 
@@ -435,12 +445,13 @@ class CDetrBackbone(nn.Module):
     dilation: bool = False
     use_space_to_depth: bool = False
     int8: bool = False
+    stop_grad_frozen: bool = False  # see ResNet.stop_grad_frozen
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         features = ResNet(
             self.name_id, self.dilation, self.use_space_to_depth, self.int8,
-            name="body"
+            stop_grad_frozen=self.stop_grad_frozen, name="body"
         )(x, deterministic=deterministic)
         return nn.Conv(
             self.hidden_dim, (1, 1), kernel_init=conv_init, name="input_proj"

@@ -80,6 +80,11 @@ class SpatioTemporalDETRArgs:
     # int8 post-training quantization of the backbone trunk (inference only;
     # training always runs the float path). See ops/quant.py.
     int8_backbone: bool = False
+    # stem+layer1 freeze (paper.py:102-109). Besides the optimizer mask this
+    # severs the backward graph at the boundary (resnet.stop_grad_frozen) —
+    # exact, and skips the frozen stages' backward work. Set False (and pass
+    # Trainer(freeze_backbone_stem=False)) when training from scratch.
+    freeze_stem: bool = True
 
     def criterion_config(self, matching_mode: str = "per level") -> CriterionConfig:
         return CriterionConfig(

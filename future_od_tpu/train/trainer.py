@@ -92,6 +92,18 @@ class Trainer:
         self._mesh = mesh
         self._rng = jax.random.key(seed)
         self._freeze_stem = freeze_backbone_stem
+        if getattr(detr_args, "freeze_stem", None) is not None and (
+            detr_args.freeze_stem != freeze_backbone_stem
+        ):
+            # A disagreement is silently wrong in one direction: the model's
+            # stop_gradient zeroes stem/layer1 grads while the optimizer
+            # believes it is training them.
+            raise ValueError(
+                "Trainer(freeze_backbone_stem="
+                f"{freeze_backbone_stem}) disagrees with "
+                f"SpatioTemporalDETRArgs.freeze_stem={detr_args.freeze_stem};"
+                " set both flags the same way"
+            )
         self._grad_report = None  # built lazily by _grad_audit
 
         # Stats meters per (mode, stat key) (trainer.py:71-77) + matcher

@@ -90,6 +90,62 @@ class TestFreezeMask:
         d_after = new_state.params["core"]["detector"]["class_embed"]["kernel"]
         assert not np.allclose(np.asarray(d_before), np.asarray(d_after))
 
+    def test_stop_grad_frozen_is_exact(self):
+        """freeze_stem severs the backward at the stem+layer1 boundary;
+        trainable-param grads must be bit-identical to the full backward
+        (the frozen grads were zeroed by the optimizer mask anyway)."""
+        import tests.test_models as tm
+        from future_od_tpu.models.st_detr import compute_loss, normalize_outputs
+
+        data = tm.make_data(np.random.default_rng(0), B=2, L=2, H=64, W=64, N=8)
+        cfgs = {}
+        for freeze in (True, False):
+            args = SpatioTemporalDETRArgs(**TINY, freeze_stem=freeze)
+            model = build_flagship(args)
+            variables = model.init({"params": jax.random.key(0)}, data)
+
+            def loss_fn(params, args=args, model=model, variables=variables):
+                out = model.apply(
+                    {"params": params, "frozen": variables["frozen"]},
+                    data,
+                    deterministic=False,
+                    rngs={"dropout": jax.random.key(7)},
+                )
+                annotated, _, _ = normalize_outputs(out, data)
+                loss, _ = compute_loss(annotated, data, args.criterion_config())
+                return loss
+
+            cfgs[freeze] = (
+                jax.grad(loss_fn)(variables["params"]),
+                param_labels(variables["params"]),
+            )
+
+        g_stop, labels = cfgs[True]
+        g_full, _ = cfgs[False]
+        flat_stop = jax.tree_util.tree_leaves_with_path(g_stop)
+        flat_full = dict(
+            (jax.tree_util.keystr(p), l)
+            for p, l in jax.tree_util.tree_leaves_with_path(g_full)
+        )
+        flat_labels = dict(
+            (jax.tree_util.keystr(p), l)
+            for p, l in jax.tree_util.tree_leaves_with_path(labels)
+        )
+        saw_frozen_nonzero = False
+        for path, g in flat_stop:
+            key = jax.tree_util.keystr(path)
+            if flat_labels[key] == "frozen":
+                assert not np.asarray(jnp.abs(g)).max() > 0, key
+                if np.asarray(jnp.abs(flat_full[key])).max() > 0:
+                    saw_frozen_nonzero = True
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(g), np.asarray(flat_full[key]), err_msg=key
+                )
+        # the severed backward really removed work: at least one frozen
+        # param had a nonzero grad in the full arm
+        assert saw_frozen_nonzero
+
 
 class TestMixedPrecision:
     def test_bf16_step_matches_f32_roughly(self):

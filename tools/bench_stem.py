@@ -402,6 +402,87 @@ def s2d4_im2col(x48, w3):
     return s2d4_stem_pool(jax.nn.relu(c))
 
 
+def s2d4_p128_host(x128, w3p):
+    """s2d(4) stem with the 48 packed channels zero-padded to a lane-aligned
+    128 (padding done on host / outside timing): tests whether XLA's conv is
+    efficient once Cin is a full lane tile."""
+    c = jax.lax.conv_general_dilated(
+        x128, w3p, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return s2d4_stem_pool(jax.nn.relu(c))
+
+
+def _kernelD(center, h0, h1, w_ref, out_ref, *, tile_p):
+    """s2d(4) stem conv as 9 accumulated full-lane matmuls.
+
+    center: (1, tile_p, Js, 128) — s2d4 input (48 real channels zero-padded
+    to a full 128 lane tile on the host; Js = Wp+2 col halos); h0/h1: the
+    two rows below the tile; w_ref: (9, 128, 256); out_ref:
+    (1, tile_p, Wp, 256) packed conv output (channel order (a, b, c) —
+    consumed by s2d4_stem_pool outside). Every operand keeps a 128/256 lane
+    dim: no narrow-lane casts, the construct this toolchain's Mosaic
+    rejects (BENCHMARKS.md round 2/3).
+    """
+    Wp = out_ref.shape[2]
+    xs = jnp.concatenate([center[0], h0[0], h1[0]], axis=0)
+
+    def row_body(r, _):
+        acc = jnp.zeros((Wp, 256), jnp.float32)
+        for di in range(3):
+            for dj in range(3):
+                xt = jax.lax.dynamic_slice(
+                    xs, (r + di, dj, 0), (1, Wp, 128)
+                )[0].astype(jnp.bfloat16)
+                acc += jax.lax.dot_general(
+                    xt, w_ref[di * 3 + dj],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        out_ref[0, r] = jnp.maximum(acc, 0.0).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, tile_p, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_p", "interpret"))
+def pallasD(x128, w3p, tile_p=8, interpret=False):
+    """Full s2d(4) stem: Pallas 9-tap conv (relu fused) + XLA transpose-free
+    pool. x128: (B, Hp, Wp, 128) host-padded s2d4 frames; w3p: (3,3,128,256).
+    """
+    B, Hp, Wp, _ = x128.shape
+    xp = jnp.pad(x128, ((0, 0), (1, 1), (1, 1), (0, 0)))  # rows/cols +1 halo
+    w9 = w3p.reshape(9, 128, 256).astype(jnp.bfloat16)
+    n_tiles = Hp // tile_p
+    row = lambda off: pl.BlockSpec(
+        (1, 1, Wp + 2, 128),
+        lambda b, i, off=off: (b, i * tile_p + tile_p + off, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    conv = pl.pallas_call(
+        functools.partial(_kernelD, tile_p=tile_p),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_p, Wp + 2, 128), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            row(0), row(1),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_p, Wp, 256), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, 256), x128.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, xp, xp, w9)
+    return s2d4_stem_pool(conv)
+
+
 def timeit_chained(fn, x0, w, iters=8, warmup=1):
     """Chained-iteration timing inside ONE jitted program (per-dispatch host
     overhead through the axon tunnel poisons loop timings — BENCHMARKS.md
@@ -441,10 +522,13 @@ def main():
     w3 = stem_weights_to_s2d4(w7).astype(x.dtype)
 
     ref = None
+    x128 = jnp.pad(x48, ((0, 0), (0, 0), (0, 0), (0, 80)))
+    w3p = jnp.pad(w3, ((0, 0), (0, 0), (0, 80), (0, 0)))
     for name, fn, xin, win in [
         ("xla7x7", xla7x7, x, w7),
         ("s2d_host", s2d_host, x12, w4),
         ("s2d4_host", s2d4_host, x48, w3),
+        ("s2d4_p128", s2d4_p128_host, x128, w3p),
         ("s2d4_im2col", s2d4_im2col, x48, w3),
     ]:
         try:

@@ -32,6 +32,7 @@ from future_od_tpu.utils.wandb import WandBConfig
 
 def run(matcher: str, epochs: int, batch: int, samples: int, progress_path: str = ""):
     detr_args = SpatioTemporalDETRArgs(
+        freeze_stem=False,  # from-scratch run: backprop the whole trunk
         num_classes=2, num_queries=32, hidden_dim=128, enc_layers=2, dec_layers=3,
         dim_feedforward=512, enc_nheads=8, nheads=8,
         lr=3e-4, lr_backbone=3e-4, matcher=matcher,

@@ -17,7 +17,9 @@ from future_od_tpu.train.optimizer import build_optimizer
 from future_od_tpu.train.step import TrainState, make_train_step
 from future_od_tpu.metrics.od_map import aggregate_mean_average_precision
 
-args = SpatioTemporalDETRArgs(num_classes=2, num_queries=32, hidden_dim=128,
+args = SpatioTemporalDETRArgs(
+    freeze_stem=False,  # from-scratch run: backprop the whole trunk
+    num_classes=2, num_queries=32, hidden_dim=128,
     enc_layers=2, dec_layers=3, dim_feedforward=512, enc_nheads=8, nheads=8,
     lr=3e-4, lr_backbone=3e-4)
 model = build_single_frame(args, use_imu=False)

@@ -34,6 +34,7 @@ def evaluate(int8: bool, ckpt: str, batch: int) -> dict:
     # must mirror tools/matcher_drift_branched.py's model config — that's
     # what the checkpoint holds
     detr_args = SpatioTemporalDETRArgs(
+        freeze_stem=False,  # from-scratch run: backprop the whole trunk
         num_classes=2, num_queries=32, hidden_dim=128, enc_layers=2,
         dec_layers=3, dim_feedforward=512, enc_nheads=8, nheads=8,
         lr=3e-4, lr_backbone=3e-4, int8_backbone=int8,

@@ -34,6 +34,7 @@ def main():
     args = parser.parse_args()
 
     detr_args = SpatioTemporalDETRArgs(
+        freeze_stem=False,  # from-scratch run: backprop the whole trunk
         num_classes=2, num_queries=32, hidden_dim=128, enc_layers=2, dec_layers=3,
         dim_feedforward=512, enc_nheads=8, nheads=8,
         lr=args.lr, lr_backbone=args.lr,
