@@ -130,6 +130,14 @@ class TestFlagship:
                 and any(k in path for k in ("query_content", "key_content", "value"))
             ):
                 return True
+            # (d) frozen stem+layer1: the backward is severed at the freeze
+            #     boundary (resnet.stop_grad_frozen), so their grads are
+            #     exactly zero by design — same exclusion the trainer's
+            #     zero-grad audit applies (torch: grad is None there).
+            if "body" in path and not any(
+                f"layer{i}" in path for i in (2, 3, 4)
+            ):
+                return True
             return False
 
         dead = [

@@ -427,22 +427,25 @@ def _kernelD(center, h0, h1, w_ref, out_ref, *, tile_p):
     Wp = out_ref.shape[2]
     xs = jnp.concatenate([center[0], h0[0], h1[0]], axis=0)
 
-    def row_body(r, _):
-        acc = jnp.zeros((Wp, 256), jnp.float32)
-        for di in range(3):
-            for dj in range(3):
-                xt = jax.lax.dynamic_slice(
-                    xs, (r + di, dj, 0), (1, Wp, 128)
-                )[0].astype(jnp.bfloat16)
-                acc += jax.lax.dot_general(
-                    xt, w_ref[di * 3 + dj],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        out_ref[0, r] = jnp.maximum(acc, 0.0).astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, tile_p, row_body, 0)
+    # 9 whole-tile matmuls (M = tile_p*Wp) — one per conv tap, statically
+    # unrolled (this toolchain's Pallas lowering has no dynamic_slice on
+    # values), accumulated in f32
+    acc = jnp.zeros((tile_p * Wp, 256), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            xt = (
+                xs[di : di + tile_p, dj : dj + Wp, :]
+                .reshape(tile_p * Wp, 128)
+                .astype(jnp.bfloat16)
+            )
+            acc += jax.lax.dot_general(
+                xt, w_ref[di * 3 + dj],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[0] = (
+        jnp.maximum(acc, 0.0).reshape(tile_p, Wp, 256).astype(out_ref.dtype)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tile_p", "interpret"))
