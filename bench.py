@@ -61,7 +61,17 @@ def main():
     model = build_flagship(args)
 
     rng = np.random.default_rng(0)
-    video = rng.normal(size=(BATCH, FRAMES, HEIGHT, WIDTH, 3)).astype(np.float32)
+    # BENCH_U8=1: feed uint8 video (device-side normalization path —
+    # resnet.device_normalize; 4x fewer host->device bytes in serving)
+    u8 = _os.environ.get("BENCH_U8", "0") == "1"
+    if u8:
+        video = rng.integers(
+            0, 256, size=(BATCH, FRAMES, HEIGHT, WIDTH, 3)
+        ).astype(np.uint8)
+    else:
+        video = rng.normal(size=(BATCH, FRAMES, HEIGHT, WIDTH, 3)).astype(
+            np.float32
+        )
     if host_s2d:
         B_, L_, H_, W_, C_ = video.shape
         video = video.reshape(B_, L_, H_ // 2, 2, W_ // 2, 2, C_)
@@ -88,7 +98,8 @@ def main():
     variables = jax.tree.map(
         lambda x: x.astype(bf16) if x.dtype == jnp.float32 else x, variables
     )
-    data["video"] = data["video"].astype(bf16)
+    if not u8:  # uint8 stays uint8 — the backbone normalizes+casts on device
+        data["video"] = data["video"].astype(bf16)
     infer = jax.jit(make_inference_fn(model))
 
     # Warm up (compile) then time. NOTE: synchronize via host materialization —

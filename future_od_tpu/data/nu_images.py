@@ -98,6 +98,7 @@ class NuImagesDataset:
         max_frame_random_offset: int = 0,
         frame_offset_sampler: Optional[Callable[[], int]] = None,
         annotated_frame_idx_override: Optional[int] = None,
+        device_normalize: bool = False,
     ):
         from nuimages import NuImages  # lazy: devkit optional
 
@@ -110,6 +111,9 @@ class NuImagesDataset:
         )
         self.max_frame_random_offset = max_frame_random_offset
         self.frame_offset_sampler = frame_offset_sampler
+        # emit uint8 video; the backbone normalizes on device (4x fewer
+        # host->device bytes — resnet.device_normalize)
+        self.device_normalize = device_normalize
         self.annotated_frame_idx_override = annotated_frame_idx_override
 
         self.nuimages = NuImages(version="v1.0-" + split, dataroot=root_path)
@@ -192,7 +196,8 @@ class NuImagesDataset:
             frames.append(
                 read_image_rgb(os.path.join(self.root_path, sd["filename"]))
             )
-        return remap_and_normalize(np.stack(frames))
+        video = np.stack(frames)
+        return video if self.device_normalize else remap_and_normalize(video)
 
     # ego_pose fields stacked into IMU columns, with their vector widths
     # (speed is a scalar per pose and becomes an (L, 1) column).

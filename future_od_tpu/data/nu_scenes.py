@@ -99,6 +99,7 @@ class NuScenesDataset:
         joint_transform=None,
         annotated_frame_idx_override: Optional[int] = None,
         filter_offsets: Optional[List[float]] = None,
+        device_normalize: bool = False,
     ):
         from nuscenes import NuScenes  # lazy: devkit optional
         from nuscenes.can_bus.can_bus_api import NuScenesCanBus
@@ -113,6 +114,10 @@ class NuScenesDataset:
             [JointResize(size=(256, 962)), JointCenterCrop(size=(256, 960))]
         )
         self.annotated_frame_idx_override = annotated_frame_idx_override
+        # device_normalize: emit uint8 video (4x fewer host->device bytes;
+        # the backbone normalizes on device — resnet.device_normalize).
+        # Joint transforms then run on uint8 (cv2's fastest path).
+        self.device_normalize = device_normalize
 
         self.nuscenes = NuScenes(version=SPLIT_TO_VERSION[split], dataroot=root_path)
         self.nusc_can = NuScenesCanBus(dataroot=root_path)
@@ -300,14 +305,14 @@ class NuScenesDataset:
         if 0 not in self.frame_offsets:
             sds = {k: v for k, v in sds.items() if k != 0}
 
-        video = remap_and_normalize(
-            np.stack(
-                [
-                    read_image_rgb(os.path.join(self.root_path, sd["filename"]))
-                    for sd in sds.values()
-                ]
-            )
+        video = np.stack(
+            [
+                read_image_rgb(os.path.join(self.root_path, sd["filename"]))
+                for sd in sds.values()
+            ]
         )
+        if not self.device_normalize:
+            video = remap_and_normalize(video)
         annotated_frame_idx = (
             self.annotated_frame_idx_override
             if self.annotated_frame_idx_override is not None

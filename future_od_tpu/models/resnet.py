@@ -23,6 +23,26 @@ from flax import linen as nn
 
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
+# ImageNet statistics, duplicated from data/transforms.py (kept in sync by
+# tests/test_models.py::test_uint8_device_normalize) so the model package
+# never imports the OpenCV-backed data package. Used by the uint8
+# device-normalize ingestion path below.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def device_normalize(x: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """uint8 video -> normalized float, on device, in the same op order as
+    the host path (transforms.remap_and_normalize) so f32 results are
+    bitwise equal. Shipping uint8 over the host->device link moves 4x
+    fewer bytes than pre-normalized f32 — the input-bound serving regime's
+    cheapest win. Accepts packed layouts too (channels = 3, 12 or 48 with
+    (di, dj, c) channel order: the stats tile across the minor c)."""
+    reps = x.shape[-1] // 3
+    mean = jnp.tile(jnp.asarray(IMAGENET_MEAN, jnp.float32), reps)
+    std = jnp.tile(jnp.asarray(IMAGENET_STD, jnp.float32), reps)
+    return ((x.astype(jnp.float32) / 255.0 - mean) / std).astype(out_dtype)
+
 STAGE_BLOCKS = {
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
@@ -344,6 +364,10 @@ class ResNet(nn.Module):
             k1 = ConvKernel((7, 7, 3, 64), name="conv1")()
             w4 = None
         bn1 = FrozenBatchNorm(64, name="bn1")
+        if x.dtype == jnp.uint8:
+            # uint8 arrived over the wire: normalize on device in the
+            # params' compute dtype (see device_normalize)
+            x = device_normalize(x, k1.dtype)
         # s2d-math stem: even without s2d-format weights, compute the stem as
         # conv4x4/1 over space-to-depth input (exact reformulation; weights
         # stay (7,7,3,64)). Opt-in (FUTURE_OD_S2D_STEM=1): wins standalone

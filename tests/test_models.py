@@ -303,6 +303,38 @@ class TestSpaceToDepthStem:
         )
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
 
+    def test_uint8_device_normalize(self, rng):
+        """uint8 video + on-device normalization == host-normalized f32
+        input, bitwise (same op order); stats constants stay in sync with
+        the data package."""
+        from future_od_tpu.data.transforms import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+            remap_and_normalize,
+        )
+        from future_od_tpu.models import resnet as R
+        from future_od_tpu.models.resnet import CDetrBackbone
+
+        np.testing.assert_allclose(np.asarray(R.IMAGENET_MEAN), IMAGENET_MEAN)
+        np.testing.assert_allclose(np.asarray(R.IMAGENET_STD), IMAGENET_STD)
+
+        u8 = rng.integers(0, 256, size=(2, 64, 96, 3)).astype(np.uint8)
+        f32 = remap_and_normalize(u8)
+        m = CDetrBackbone(hidden_dim=32)
+        variables = m.init(jax.random.key(0), jnp.asarray(f32))
+        host = m.apply(variables, jnp.asarray(f32))
+        dev = m.apply(variables, jnp.asarray(u8))
+        np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))
+
+        # packed s2d layout: stats tile across the (di, dj, c) channel order
+        from future_od_tpu.models.resnet import space_to_depth
+
+        m2 = CDetrBackbone(hidden_dim=32, use_space_to_depth=True)
+        v2 = m2.init(jax.random.key(0), space_to_depth(jnp.asarray(f32)))
+        host2 = m2.apply(v2, space_to_depth(jnp.asarray(f32)))
+        dev2 = m2.apply(v2, space_to_depth(jnp.asarray(u8)))
+        np.testing.assert_array_equal(np.asarray(host2), np.asarray(dev2))
+
     def test_s2d4_stem_and_pool_exact(self, rng):
         """s2d(4) variant: conv3x3/1 over (H/4, W/4, 48) + transpose-free
         maxpool equals the reference conv7x7/2 + relu + maxpool3x3/2."""
