@@ -22,7 +22,10 @@ COLOURS = np.stack(
 
 
 def revert_imagenet_normalization(image: np.ndarray) -> np.ndarray:
-    """(H, W, 3) normalized -> [0, 1] RGB."""
+    """(H, W, 3) normalized -> [0, 1] RGB (uint8 device-normalize batches
+    arrive un-normalized and just rescale)."""
+    if image.dtype == np.uint8:
+        return image.astype(np.float32) / 255.0
     return image * IMAGENET_STD + IMAGENET_MEAN
 
 

@@ -125,6 +125,11 @@ def add_tpu_args(parser):
         "the GIL) or grain worker processes (python-heavy datasets)",
     )
     parser.add_argument(
+        "--device_normalize", action="store_true", default=False,
+        help="ship uint8 video and normalize on device (4x fewer "
+        "host->device bytes; resnet.device_normalize)",
+    )
+    parser.add_argument(
         "--checkpoint_every_iters", default=0, type=int,
         help="also checkpoint mid-epoch every N train iterations (preemption safety)",
     )

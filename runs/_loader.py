@@ -62,6 +62,7 @@ def get_nuim_loaders(
         front_camera_only=True,
         joint_transform=T.JointCompose([random_aug, T.JointResize(size=img_size)]),
         frames=[nu_images.ANNOTATED_FRAME + o for o in train_offsets],
+        device_normalize=getattr(args, "device_normalize", False),
     )
     print("Loaded training set with", len(training_data), "samples")
     validation_data = nu_images.NuImagesDataset(
@@ -73,6 +74,7 @@ def get_nuim_loaders(
         joint_transform=T.JointCompose([T.JointCenterCrop(size=img_size)]),
         frames=[nu_images.ANNOTATED_FRAME + o for o in val_offsets],
         annotated_frame_idx_override=val_annotated_frame_override,
+        device_normalize=getattr(args, "device_normalize", False),
     )
     print("Loaded validation set with", len(validation_data), "samples")
     return _build_loaders(args, train_batch_size, training_data, validation_data)
@@ -100,6 +102,7 @@ def get_nusc_loaders(
         joint_transform=T.JointCompose([random_aug, T.JointResize(size=img_size)]),
         frame_offsets=train_offsets,
         filter_offsets=filter_offsets,
+        device_normalize=getattr(args, "device_normalize", False),
     )
     print("Loaded training set with", len(training_data), "samples")
     validation_data = nu_scenes.NuScenesDataset(
@@ -111,6 +114,7 @@ def get_nusc_loaders(
         frame_offsets=val_offsets,
         annotated_frame_idx_override=val_annotated_frame_override,
         filter_offsets=filter_offsets,
+        device_normalize=getattr(args, "device_normalize", False),
     )
     print("Loaded validation set with", len(validation_data), "samples")
     return _build_loaders(args, train_batch_size, training_data, validation_data)

@@ -39,19 +39,31 @@ def main():
     model = build_flagship(args)
     rng = np.random.default_rng(0)
 
+    # BENCH_HOST_FRAMES=1: leave frames as host numpy so each step pays the
+    # real host->device transfer (the serving regime — frames arrive from
+    # cameras/decoders on the host). BENCH_U8=1: ship uint8 and normalize
+    # on device (resnet.device_normalize) — 4x fewer bytes over the link.
+    host_frames = os.environ.get("BENCH_HOST_FRAMES", "0") == "1"
+    u8 = os.environ.get("BENCH_U8", "0") == "1"
+
     def frame(i):
-        f = {
-            "video": jnp.asarray(
-                rng.normal(size=(B, H, W, 3)).astype(np.float32)
-            ).astype(jnp.bfloat16)
-        }
+        if u8:
+            v = rng.integers(0, 256, size=(B, H, W, 3)).astype(np.uint8)
+        else:
+            v = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+        if host_frames:
+            video = v
+        elif u8:
+            video = jnp.asarray(v)
+        else:
+            video = jnp.asarray(v).astype(jnp.bfloat16)
+        f = {"video": video}
         for key, d in [
             ("translation", 3), ("acceleration", 3), ("rotation", 4),
             ("rotation_rate", 3), ("speed", 1),
         ]:
-            f[key] = jnp.asarray(
-                rng.normal(size=(B, d)).astype(np.float32)
-            )
+            imu = rng.normal(size=(B, d)).astype(np.float32)
+            f[key] = imu if host_frames else jnp.asarray(imu)
         return f
 
     init_data = {
@@ -93,6 +105,8 @@ def main():
             {
                 "metric": "clips_per_sec_per_chip_streaming"
                 + ("_int8" if int8 else "")
+                + ("_hostio" if host_frames else "")
+                + ("_u8" if u8 else "")
                 + f"_b{B}_896x1600",
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec/chip",
