@@ -452,7 +452,14 @@ class ResNet(nn.Module):
                     int8=self.int8 and str(stage_idx + 1) not in int8_skip,
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic=deterministic)
-            if stage_idx == 0 and self.stop_grad_frozen:
+            # FUTURE_OD_SEVER_STAGE (default 0 = the stem+layer1 freeze
+            # boundary) is a measurement-only knob: moving the sever deeper
+            # kills real gradients, but the resulting step-time *marginals*
+            # attribute the backward cost per stage
+            # (tools/bench_train_split.py BENCH_SEVER_SWEEP=1).
+            if self.stop_grad_frozen and stage_idx == int(
+                os.environ.get("FUTURE_OD_SEVER_STAGE", "0")
+            ):
                 x = jax.lax.stop_gradient(x)
             planes *= 2
         return x

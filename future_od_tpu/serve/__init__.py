@@ -1,4 +1,5 @@
 from future_od_tpu.serve.streaming import make_streaming_fns, StreamingSession
+from future_od_tpu.serve.server import MultiStreamServer
 from future_od_tpu.serve.export import (
     export_inference,
     export_serving,
@@ -9,6 +10,7 @@ from future_od_tpu.serve.export import (
 __all__ = [
     "make_streaming_fns",
     "StreamingSession",
+    "MultiStreamServer",
     "export_serving",
     "export_inference",
     "export_streaming",

@@ -174,6 +174,32 @@ def main():
     t = timed(step, state, data, key)
     print(f"  full step                 {t:8.1f} ms", flush=True)
 
+    # BENCH_SEVER_SWEEP=1: move the backward-sever boundary through the
+    # backbone (FUTURE_OD_SEVER_STAGE, measurement-only — see resnet.py) and
+    # time the FULL step per position. Successive differences attribute the
+    # backward (dgrad+wgrad) of each stage; "none" (no sever; freeze via the
+    # optimizer mask only) bounds the stem+layer1 backward.
+    if os.environ.get("BENCH_SEVER_SWEEP", "0") == "1":
+        print("  -- sever sweep (full step per backward boundary) --",
+              flush=True)
+        prev = None
+        for sever in ["none", "0", "1", "2", "3"]:
+            if sever == "none":
+                os.environ["FUTURE_OD_SEVER_STAGE"] = "-1"  # matches no stage
+            else:
+                os.environ["FUTURE_OD_SEVER_STAGE"] = sever
+            m = build_flagship(args)  # re-trace under the new boundary
+            s = jax.jit(make_train_step(m, ccfg, tx, mixed_precision=True))
+            t = timed(s, state, data, key)
+            label = (
+                "no sever (mask-frozen)" if sever == "none"
+                else f"sever after layer{int(sever) + 1}"
+            )
+            marginal = "" if prev is None else f"   (-{prev - t:6.1f})"
+            print(f"  {label:<26}{t:8.1f} ms{marginal}", flush=True)
+            prev = t
+        os.environ.pop("FUTURE_OD_SEVER_STAGE", None)
+
 
 if __name__ == "__main__":
     main()
