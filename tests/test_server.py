@@ -158,3 +158,47 @@ def test_flooding_stream_queues():
             np.asarray(g["boxes"]), np.asarray(w["boxes"]),
             rtol=0, atol=1e-5,
         )
+
+
+def test_sharded_server_matches_unsharded():
+    """Streams pinned across an 8-chip data mesh (shard_map rings) produce
+    the same outputs as the single-device server; the global batch is
+    sharded over the mesh."""
+    from future_od_tpu.parallel.mesh import make_mesh, replicate
+
+    rng = np.random.default_rng(4)
+    model, variables = make_model()
+    streams = {sid: [make_frame(rng) for _ in range(3)] for sid in range(8)}
+
+    def run(server):
+        got = {}
+        for t in range(3):
+            for sid in streams:
+                res = server.submit(sid, streams[sid][t])
+                for rsid, out in split_results(res):
+                    got.setdefault(rsid, []).append(out)
+        for rsid, out in split_results(server.flush()):
+            got.setdefault(rsid, []).append(out)
+        return got
+
+    ref = run(MultiStreamServer(model, variables, max_batch=8, clip_frames=L,
+                                max_streams=16))
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    sharded_vars = jax.device_put(
+        variables, jax.tree.map(lambda _: replicate(mesh), variables)
+    )
+    server = MultiStreamServer(
+        model, sharded_vars, max_batch=8, clip_frames=L, max_streams=16,
+        mesh=mesh,
+    )
+    got = run(server)
+
+    assert set(got) == set(ref) == set(streams)
+    for sid in streams:
+        assert len(got[sid]) == len(ref[sid]) == 2  # clips end at t=1,2
+        for g, w in zip(got[sid], ref[sid]):
+            np.testing.assert_allclose(
+                np.asarray(g["boxes"]), np.asarray(w["boxes"]),
+                rtol=0, atol=1e-5,
+            )

@@ -94,13 +94,13 @@ def main():
 
     def consume(results):
         nonlocal clips, last
-        for sids, out in results:
+        for placements, out in results:
             if not pipelined:
                 np.asarray(out["boxes"])  # one sync: whole dispatch done
                 done = time.perf_counter()
-                for sid in sids:
+                for sid, _row in placements:
                     latencies.append(done - submit_t[sid])
-            clips += len(sids)
+            clips += len(placements)
             last = out
 
     t0 = time.perf_counter()
