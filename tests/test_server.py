@@ -202,3 +202,44 @@ def test_sharded_server_matches_unsharded():
                 np.asarray(g["boxes"]), np.asarray(w["boxes"]),
                 rtol=0, atol=1e-5,
             )
+
+
+def test_random_arrival_schedule_matches_sessions():
+    """Property test of the dispatcher bookkeeping: a random arrival schedule
+    (staggered joins, bursts, an early leave) yields exactly the per-stream
+    session outputs for every surviving stream, in per-stream frame order."""
+    rng = np.random.default_rng(5)
+    model, variables = make_model()
+    n_frames = {"a": 5, "b": 4, "c": 3, "d": 4}
+    streams = {s: [make_frame(rng) for _ in range(n)] for s, n in n_frames.items()}
+
+    # schedule: interleaved with a burst of "a" and "d" joining late
+    schedule = ["a", "a", "b", "c", "a", "b", "d", "c", "b", "a", "d",
+                "c", "b", "d", "a", "d"]
+    assert {s: schedule.count(s) for s in n_frames} == n_frames
+
+    server = MultiStreamServer(model, variables, max_batch=3, clip_frames=L,
+                               max_streams=8)
+    sent = {s: 0 for s in n_frames}
+    got = {s: [] for s in n_frames}
+    for s in schedule:
+        res = server.submit(s, streams[s][sent[s]])
+        sent[s] += 1
+        for rsid, out in split_results(res):
+            got[rsid].append(out)
+        if s == "c" and sent[s] == n_frames["c"]:
+            # drain, then drop "c" mid-run; later dispatches must be unaffected
+            for rsid, out in split_results(server.flush()):
+                got[rsid].append(out)
+            server.close_stream("c")
+    for rsid, out in split_results(server.flush()):
+        got[rsid].append(out)
+
+    for s in n_frames:
+        want = session_outputs(model, variables, streams[s])
+        assert len(got[s]) == len(want) == n_frames[s] - 1
+        for g, w in zip(got[s], want):
+            np.testing.assert_allclose(
+                np.asarray(g["boxes"]), np.asarray(w["boxes"]),
+                rtol=0, atol=1e-5,
+            )
