@@ -56,3 +56,27 @@ def test_bench_and_demo_importable():
             capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
         )
         assert result.returncode == 0, (mod, result.stderr[-1500:])
+
+
+def test_serve_script_help():
+    result = run_help("runs/serve.py")
+    assert result.returncode == 0, result.stderr[-2000:]
+    for flag in ["--checkpoint", "--streams", "--max_batch", "--bf16",
+                 "--device_normalize", "--mesh_data"]:
+        assert flag in result.stdout, f"runs/serve.py missing {flag}"
+
+
+def test_serve_script_smoke():
+    """End-to-end serving smoke on CPU: tiny image, 3 streams, random init."""
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "runs/serve.py"),
+         "--img_size", "64", "96", "--streams", "3", "--max_batch", "2",
+         "--rounds", "2", "--max_streams", "4"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    import json as _json
+    stats = _json.loads(result.stdout.strip().splitlines()[-1])
+    assert stats["clips"] == 3 * 2  # every stream past warmup yields a clip
+    assert stats["pad_fraction"] < 0.5
