@@ -34,7 +34,8 @@ def _separate_encoder(args: SpatioTemporalDETRArgs, use_imu: bool = True) -> Sep
         backbone_name=args.backbone,
         backbone_dilation=args.dilation,
         backbone_space_to_depth=args.space_to_depth,
-        backbone_int8=args.int8_backbone,
+        backbone_int8=args.int8_backbone or args.int8_static,
+        backbone_int8_static=args.int8_static,
         backbone_freeze_stem=args.freeze_stem,
     )
 

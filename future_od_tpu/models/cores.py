@@ -64,6 +64,9 @@ class SeparateEncoder(nn.Module):
     # int8 PTQ inference path for the trunk convs (ops/quant.py) — the v5e
     # MXU's int8 peak is 2x bf16 and int8 halves early-stage HBM traffic
     backbone_int8: bool = False
+    # static-calibration variant: activation ranges from a calibration pass
+    # (the "quant" variable collection) instead of per-call reductions
+    backbone_int8_static: bool = False
     # sever the backward at the stem+layer1 freeze boundary (exact under the
     # optimizer's frozen mask; False for from-scratch training) — see
     # resnet.ResNet.stop_grad_frozen
@@ -81,6 +84,7 @@ class SeparateEncoder(nn.Module):
         features = CDetrBackbone(
             self.hidden_dim, self.backbone_name, self.backbone_dilation,
             self.backbone_space_to_depth, self.backbone_int8,
+            int8_static=self.backbone_int8_static,
             stop_grad_frozen=self.backbone_freeze_stem, name="backbone",
         )(folded, deterministic=deterministic)
         _, h, w, D = features.shape

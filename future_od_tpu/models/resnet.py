@@ -129,6 +129,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     fuse: bool = False  # eligible for the fused Pallas path (layer1)
     int8: bool = False  # int8 PTQ inference path (ops/quant.py)
+    int8_static: bool = False  # calibrated ranges ("quant" collection)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -172,28 +173,66 @@ class Bottleneck(nn.Module):
                 args.update(wd=kd[0, 0] * sd, bd=td)
             return fused_bottleneck(x, **args)
 
+        # int8_static: calibrated ranges live in the "quant" collection (the
+        # BatchNorm running-stats idiom). A mutable-"quant" apply is a
+        # CALIBRATION pass: it runs the DYNAMIC int8 path while the
+        # per-channel input ranges accumulate (running max), so the stored
+        # ranges are those of the quantized network itself — error
+        # propagation included. A normal apply then quantizes with the
+        # stored ranges: zero per-call activation reductions (ops/quant.py
+        # statics), and on the calibration batch the static output is
+        # bitwise-equal to the dynamic path (tests/test_quant.py).
+        calibrating = self.int8_static and self.is_mutable_collection("quant")
+        if self.int8_static:
+            qvars = {
+                name: self.variable(
+                    "quant", f"{name}_amax",
+                    lambda c=cin_: jnp.zeros((c,), jnp.float32),
+                )
+                for name, cin_ in (
+                    ("conv1", cin), ("conv2", p), ("conv3", p),
+                ) + ((("downsample_conv", cin),) if self.downsample else ())
+            }
+
         if self.int8 and deterministic:
             # Inference-only int8 path: frozen-BN folded into the quantized
             # per-channel kernels, int32 MXU accumulation (ops/quant.py).
             # Every conv input here is post-ReLU (non-negative), so the
             # zero-point-128 variant recovers the full 8-bit range.
-            from future_od_tpu.ops.quant import int8_conv_nonneg
+            from future_od_tpu.ops.quant import (
+                int8_conv_nonneg,
+                int8_conv_nonneg_static,
+                observe_channel_amax,
+            )
 
+            if self.int8_static and not calibrating:
+                conv = lambda x_, k_, b_, name, **kw: int8_conv_nonneg_static(
+                    x_, k_, qvars[name].value, b_, **kw
+                )
+            else:
+                def conv(x_, k_, b_, name, **kw):
+                    if calibrating:
+                        qvars[name].value = jnp.maximum(
+                            qvars[name].value,
+                            observe_channel_amax(x_, nonneg=True),
+                        )
+                    return int8_conv_nonneg(x_, k_, b_, **kw)
             s1, t1 = bn1.scale_shift()
             s2, t2 = bn2.scale_shift()
             s3, t3 = bn3.scale_shift()
-            out = jax.nn.relu(int8_conv_nonneg(x, k1 * s1, t1))
-            out = jax.nn.relu(int8_conv_nonneg(
-                out, k2 * s2, t2,
+            out = jax.nn.relu(conv(x, k1 * s1, t1, "conv1"))
+            out = jax.nn.relu(conv(
+                out, k2 * s2, t2, "conv2",
                 strides=(self.stride, self.stride),
                 padding=[(self.dilation, self.dilation)] * 2,
                 dilation=(self.dilation, self.dilation),
             ))
-            out = int8_conv_nonneg(out, k3 * s3, t3)
+            out = conv(out, k3 * s3, t3, "conv3")
             if self.downsample:
                 sd, td = bnd.scale_shift()
-                identity = int8_conv_nonneg(
-                    x, kd * sd, td, strides=(self.stride, self.stride)
+                identity = conv(
+                    x, kd * sd, td, "downsample_conv",
+                    strides=(self.stride, self.stride),
                 )
             else:
                 identity = x
@@ -327,6 +366,7 @@ class ResNet(nn.Module):
     dilation: bool = False  # replace layer4 stride with dilation (paper.py:95)
     use_space_to_depth: bool = False
     int8: bool = False  # int8 PTQ inference path for every trunk conv
+    int8_static: bool = False  # calibrated act ranges ("quant" collection)
     # stop_grad_frozen: sever the backward graph at the stem+layer1 freeze
     # boundary (paper.py:102-109 sets requires_grad=False there, which
     # prunes torch's autograd the same way). Under the optimizer's frozen
@@ -398,11 +438,38 @@ class ResNet(nn.Module):
             s, t = bn1.scale_shift()
             x = fused_stem(x, w4 * s, t)
         else:
-            int8_stem = self.int8 and deterministic and "stem" not in int8_skip
+            # static-int8 stem range: signed input (normalized pixels), so
+            # the calibration records |x| per channel (see Bottleneck for
+            # the calibration/"quant"-collection mechanics: a mutable-
+            # "quant" apply runs the DYNAMIC int8 stem while observing)
+            calibrating = (
+                self.int8_static and self.is_mutable_collection("quant")
+            )
+            if self.int8_static:
+                from future_od_tpu.ops.quant import observe_channel_amax
+
+                stem_q = self.variable(
+                    "quant", "conv1_amax",
+                    lambda c=k1.shape[2]: jnp.zeros((c,), jnp.float32),
+                )
+            int8_stem = (
+                self.int8 and deterministic and "stem" not in int8_skip
+                and not s2d_math
+            )
             if int8_stem:
-                from future_od_tpu.ops.quant import int8_conv
+                from future_od_tpu.ops.quant import int8_conv, int8_conv_static
 
                 s, t = bn1.scale_shift()
+                if self.int8_static and not calibrating:
+                    int8_conv = (
+                        lambda x_, k_, b_, **kw: int8_conv_static(
+                            x_, k_, stem_q.value, b_, **kw
+                        )
+                    )
+                elif calibrating:
+                    stem_q.value = jnp.maximum(
+                        stem_q.value, observe_channel_amax(x, nonneg=False)
+                    )
             if self.use_space_to_depth:
                 if int8_stem:
                     x = int8_conv(x, k1 * s, t, padding=[(2, 1), (2, 1)])
@@ -450,6 +517,8 @@ class ResNet(nn.Module):
                         in os.environ.get("FUTURE_OD_FUSE_STAGES", "01")
                     ),
                     int8=self.int8 and str(stage_idx + 1) not in int8_skip,
+                    int8_static=self.int8_static
+                    and str(stage_idx + 1) not in int8_skip,
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic=deterministic)
             # FUTURE_OD_SEVER_STAGE (default 0 = the stem+layer1 freeze
@@ -476,12 +545,14 @@ class CDetrBackbone(nn.Module):
     dilation: bool = False
     use_space_to_depth: bool = False
     int8: bool = False
+    int8_static: bool = False
     stop_grad_frozen: bool = False  # see ResNet.stop_grad_frozen
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         features = ResNet(
             self.name_id, self.dilation, self.use_space_to_depth, self.int8,
+            int8_static=self.int8_static,
             stop_grad_frozen=self.stop_grad_frozen, name="body"
         )(x, deterministic=deterministic)
         return nn.Conv(

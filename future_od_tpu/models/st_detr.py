@@ -80,6 +80,10 @@ class SpatioTemporalDETRArgs:
     # int8 post-training quantization of the backbone trunk (inference only;
     # training always runs the float path). See ops/quant.py.
     int8_backbone: bool = False
+    # static-calibration int8: ranges from a calibration pass stored in the
+    # "quant" collection (calibrate with apply(..., mutable=["quant"]));
+    # implies the int8 inference path
+    int8_static: bool = False
     # stem+layer1 freeze (paper.py:102-109). Besides the optimizer mask this
     # severs the backward graph at the boundary (resnet.stop_grad_frozen) —
     # exact, and skips the frozen stages' backward work. Set False (and pass

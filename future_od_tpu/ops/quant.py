@@ -133,6 +133,114 @@ def int8_conv_nonneg(
     return out.astype(out_dtype)
 
 
+def observe_channel_amax(x: jnp.ndarray, nonneg: bool) -> jnp.ndarray:
+    """Per-input-channel activation range, (C,) float32 — the one statistic
+    the STATIC calibration stores per conv (everything else — smoothing
+    factors, per-tensor scale — derives from it plus the weights)."""
+    x32 = x.astype(jnp.float32)
+    v = x32 if nonneg else jnp.abs(x32)
+    return jnp.max(v, axis=tuple(range(x.ndim - 1)), initial=0.0)
+
+
+def static_smooth_and_scale(
+    amax_c: jnp.ndarray, kernel: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(stored per-channel act range, effective kernel) -> (per-input-channel
+    smoothing factors m, post-smoothing per-tensor act range).
+
+    Same α=0.5 scale migration as `smooth_factors`, but driven by CALIBRATED
+    ranges instead of a per-call full-tensor reduction — the O(C) math here
+    is negligible next to the activation passes it replaces."""
+    w32 = kernel.astype(jnp.float32)
+    w_axes = tuple(i for i in range(kernel.ndim) if i != kernel.ndim - 2)
+    w_amax = jnp.max(jnp.abs(w32), axis=w_axes)
+    m = jnp.sqrt(
+        jnp.maximum(amax_c, 1e-12) / jnp.maximum(w_amax, 1e-12)
+    )
+    m = jnp.where(amax_c > 0.0, m, 1.0)
+    return m, jnp.max(amax_c / m, initial=0.0)
+
+
+def int8_conv_nonneg_static(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    amax_c: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    strides: Sequence[int] = (1, 1),
+    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0)),
+    dilation: Sequence[int] = (1, 1),
+) -> jnp.ndarray:
+    """`int8_conv_nonneg` with CALIBRATED ranges: the dynamic path's three
+    full-tensor activation passes (channel amax for smoothing, smoothing
+    divide, tensor amax) collapse into ONE fused divide+round+clip that XLA
+    merges with the preceding elementwise op. Given amax_c equal to the
+    input's true per-channel range, the result is bit-identical to the
+    dynamic path (tests/test_quant.py)."""
+    out_dtype = x.dtype
+    m, amax = static_smooth_and_scale(amax_c, kernel)
+    wq, ws = quantize_weight_per_channel(
+        kernel.astype(jnp.float32) * m[None, None, :, None]
+    )
+    scale = jnp.maximum(amax, 1e-12) / 255.0
+    # same arithmetic ORDER as the dynamic path (x/m, then /scale) so the
+    # result is bit-identical given exact ranges; XLA fuses the two divides
+    # into the one elementwise pass either way
+    x32 = x.astype(jnp.float32) / m
+    q = (
+        jnp.clip(jnp.round(x32 / scale), 0.0, 255.0) - 128.0
+    ).astype(jnp.int8)
+    pH, pW = tuple(padding[0]), tuple(padding[1])
+    if pH != (0, 0) or pW != (0, 0):
+        q = jnp.pad(
+            q, ((0, 0), pH, pW, (0, 0)), constant_values=jnp.int8(-128)
+        )
+    acc = jax.lax.conv_general_dilated(
+        q, wq, tuple(strides), [(0, 0), (0, 0)],
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    zp_corr = 128 * jnp.sum(
+        wq.astype(jnp.int32), axis=tuple(range(wq.ndim - 1))
+    )
+    out = (acc + zp_corr).astype(jnp.float32) * (scale * ws)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def int8_conv_static(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    amax_c: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    strides: Sequence[int] = (1, 1),
+    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0)),
+    dilation: Sequence[int] = (1, 1),
+) -> jnp.ndarray:
+    """`int8_conv` (signed symmetric, for the stem's signed inputs) with
+    CALIBRATED per-channel ranges — same single-pass quantization as
+    `int8_conv_nonneg_static`; zero padding is exact (0 maps to q=0)."""
+    out_dtype = x.dtype
+    m, amax = static_smooth_and_scale(amax_c, kernel)
+    wq, ws = quantize_weight_per_channel(
+        kernel.astype(jnp.float32) * m[None, None, :, None]
+    )
+    scale = jnp.maximum(amax, 1e-12) / QMAX
+    x32 = x.astype(jnp.float32) / m
+    q = jnp.clip(jnp.round(x32 / scale), -QMAX, QMAX).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        q, wq, tuple(strides), list(padding),
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (scale * ws)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 def int8_conv(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

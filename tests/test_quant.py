@@ -209,3 +209,74 @@ class TestInt8Backbone:
             lambda v, x: m.apply(v, x, deterministic=True)
         )(variables, x)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestInt8Static:
+    """Static-calibration variant: ranges from a calibration pass (the
+    "quant" collection) replace every per-call activation reduction."""
+
+    def _toy_input(self, rng, shape=(1, 64, 96, 3)):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    def _models(self):
+        m_d = CDetrBackbone(hidden_dim=32, int8=True)
+        m_s = CDetrBackbone(hidden_dim=32, int8=True, int8_static=True)
+        return m_d, m_s
+
+    def test_static_equals_dynamic_on_calibration_batch(self, rng):
+        """Calibrated on X, evaluated on X: the static path sees exactly the
+        ranges the dynamic path computes on the fly -> bitwise-equal output."""
+        x = self._toy_input(rng)
+        m_d, m_s = self._models()
+        vs = m_s.init(jax.random.key(0), x)  # init IS a calibration pass on x
+        assert "quant" in vs
+        out_d = m_d.apply(
+            {"params": vs["params"], "frozen": vs["frozen"]}, x,
+            deterministic=True,
+        )
+        out_s = m_s.apply(vs, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+    def test_calibration_is_running_max(self, rng):
+        """mutable=["quant"] applies run the DYNAMIC int8 path (so the
+        stored ranges include quantization-error propagation) and accumulate
+        the per-channel max across batches."""
+        x1 = self._toy_input(rng, (1, 32, 32, 3))
+        x2 = 3.0 * self._toy_input(rng, (1, 32, 32, 3))
+        m_d, m_s = self._models()
+        vs = m_s.init(jax.random.key(0), x1)
+        out, mut = m_s.apply(vs, x2, deterministic=True, mutable=["quant"])
+        # calibration pass output == dynamic int8 path output
+        out_d = m_d.apply(
+            {"params": vs["params"], "frozen": vs["frozen"]}, x2,
+            deterministic=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_d))
+        stem_before = np.asarray(vs["quant"]["body"]["conv1_amax"])
+        stem_after = np.asarray(mut["quant"]["body"]["conv1_amax"])
+        assert (stem_after >= stem_before).all() and (stem_after > stem_before).any()
+
+    def test_static_close_to_float_off_calibration(self, rng):
+        """Evaluated on a batch it was NOT calibrated on (ranges still cover
+        it): accuracy comparable to the dynamic arm."""
+        x_cal = 1.5 * self._toy_input(rng)  # wider calibration range
+        x = self._toy_input(rng)
+        m_f = CDetrBackbone(hidden_dim=32)
+        _, m_s = self._models()
+        vs = m_s.init(jax.random.key(0), x_cal)
+        out_f = m_f.apply(
+            {"params": vs["params"], "frozen": vs["frozen"]}, x,
+            deterministic=True,
+        )
+        out_s = m_s.apply(vs, x, deterministic=True)
+        rel = float(jnp.linalg.norm(out_s - out_f) / jnp.linalg.norm(out_f))
+        assert rel < 0.15, rel
+
+    def test_static_jits(self, rng):
+        x = self._toy_input(rng, (1, 32, 32, 3))
+        _, m_s = self._models()
+        vs = m_s.init(jax.random.key(0), x)
+        out = jax.jit(
+            lambda v, x: m_s.apply(v, x, deterministic=True)
+        )(vs, x)
+        assert np.isfinite(np.asarray(out)).all()
