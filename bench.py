@@ -51,10 +51,14 @@ def main():
     # int32 MXU accumulation
     # BENCH_ENC_LAYERS / BENCH_DEC_LAYERS: embedded-marginal-cost ablations
     # for the roofline attribution (tools/roofline.py; BENCHMARKS.md round 3)
+    # BENCH_INT8_STATIC=1: static-calibration variant — activation ranges
+    # from the init-time calibration pass ("quant" collection) replace the
+    # dynamic path's per-conv full-tensor reductions
     args = SpatioTemporalDETRArgs(
         num_classes=8, num_queries=128, lr_backbone=1e-4,
         space_to_depth=host_s2d,
         int8_backbone=_os.environ.get("BENCH_INT8", "0") == "1",
+        int8_static=_os.environ.get("BENCH_INT8_STATIC", "0") == "1",
         enc_layers=int(_os.environ.get("BENCH_ENC_LAYERS", 6)),
         dec_layers=int(_os.environ.get("BENCH_DEC_LAYERS", 6)),
     )
@@ -89,8 +93,16 @@ def main():
             rng.normal(size=(BATCH, FRAMES, d)).astype(np.float32)
         )
 
+    if args.int8_static:
+        # init IS the calibration pass (dynamic int8 + range observers) —
+        # a much larger program than inference, so run it on a b1 slice to
+        # stay under the remote-compile body limit; the calibrated ranges
+        # are batch-independent
+        example = jax.tree.map(lambda x: x[:1], data)
+    else:
+        example = data
     variables = jax.jit(
-        lambda k: model.init({"params": k}, data, deterministic=True)
+        lambda k: model.init({"params": k}, example, deterministic=True)
     )(jax.random.key(0))
     # bfloat16 inference: params + video cast once on device. Box-output delta
     # vs f32 is < 0.5 px at 896x1600 — far below AP resolution.
