@@ -27,6 +27,20 @@ ARRAY_KEYS = (
 VAL_SEED = 9069788369656784  # the reference's fixed validation seed (_loader.py:104)
 
 
+def host_space_to_depth(video: np.ndarray) -> np.ndarray:
+    """(..., H, W, C) -> (..., H/2, W/2, 4C): host-side 2x2 pixel packing
+    with (di, dj, c) channel order. The SINGLE definition of the pack
+    layout — it must match models/resnet.space_to_depth (the on-device
+    equivalent), the (4, 4, 12, 64) s2d stem kernel, and
+    device_normalize's channel-tiled stats; callers (Loader, bench.py)
+    share this instead of re-deriving the transpose."""
+    v = np.asarray(video)
+    *lead, H, W, C = v.shape
+    v = v.reshape(*lead, H // 2, 2, W // 2, 2, C)
+    v = np.moveaxis(v, v.ndim - 4, v.ndim - 3)  # (..., H/2, W/2, di, dj, C)
+    return np.ascontiguousarray(v).reshape(*lead, H // 2, W // 2, 4 * C)
+
+
 def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     batch: Dict[str, Any] = {}
     for key in samples[0]:
@@ -154,12 +168,7 @@ class Loader:
         sample = self.dataset[i]
         if self.space_to_depth:
             sample = dict(sample)
-            v = np.asarray(sample["video"])
-            L, H, W, C = v.shape
-            v = v.reshape(L, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
-            sample["video"] = np.ascontiguousarray(v).reshape(
-                L, H // 2, W // 2, 4 * C
-            )
+            sample["video"] = host_space_to_depth(sample["video"])
         return sample
 
     def _load_batch(self, idxs):

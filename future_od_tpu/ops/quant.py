@@ -81,34 +81,13 @@ def quantize_act_per_tensor(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def int8_conv_nonneg(
-    x: jnp.ndarray,
-    kernel: jnp.ndarray,
-    bias: jnp.ndarray | None = None,
-    strides: Sequence[int] = (1, 1),
-    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0)),
-    dilation: Sequence[int] = (1, 1),
-) -> jnp.ndarray:
-    """int8 conv for NON-NEGATIVE (post-ReLU) inputs with the full 8-bit
-    range recovered via a fixed zero-point of 128.
-
-    Symmetric int8 wastes the sign bit on post-ReLU activations (effective
-    7-bit resolution — measured as a 0.28 AP50 drop on a converged model,
-    BENCHMARKS.md round 3). Here q = round(x/s) - 128 with s = max(x)/255,
-    so x ≈ s·(q + 128). Exactness under zero-padding: padding is applied in
-    the QUANTIZED domain with value -128 (which represents x = 0), making
-    conv(x)/s == conv_valid(q_pad) + 128·Σw[c] with the correction constant
-    per output channel — folded into the bias, no border terms. Both conv
-    operands remain int8 with int32 MXU accumulation.
-    """
-    out_dtype = x.dtype
-    m = smooth_factors(x, kernel)
-    wq, ws = quantize_weight_per_channel(
-        kernel.astype(jnp.float32) * m[None, None, :, None]
-    )
-    x32 = x.astype(jnp.float32) / m
-    amax = jnp.max(x32, initial=0.0)  # x >= 0: max is the range
-    scale = jnp.maximum(amax, 1e-12) / 255.0
+def _conv_nonneg_core(
+    x32, scale, wq, ws, bias, strides, padding, dilation, out_dtype
+):
+    """Shared zero-point-128 conv body (dynamic and static paths): quantize
+    the smoothed input with the given per-tensor scale, pad in the QUANTIZED
+    domain with -128 (= x 0), int8×int8 conv with int32 MXU accumulation,
+    per-output-channel zero-point correction, dequantize, bias."""
     q = (
         jnp.clip(jnp.round(x32 / scale), 0.0, 255.0) - 128.0
     ).astype(jnp.int8)
@@ -131,6 +110,56 @@ def int8_conv_nonneg(
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(out_dtype)
+
+
+def _conv_signed_core(
+    x32, scale, wq, ws, bias, strides, padding, dilation, out_dtype
+):
+    """Shared symmetric-signed conv body (dynamic and static paths); zero
+    padding is exact in the quantized domain (0 maps to q = 0)."""
+    q = jnp.clip(jnp.round(x32 / scale), -QMAX, QMAX).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        q, wq, tuple(strides), list(padding),
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (scale * ws)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def int8_conv_nonneg(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    strides: Sequence[int] = (1, 1),
+    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0)),
+    dilation: Sequence[int] = (1, 1),
+) -> jnp.ndarray:
+    """int8 conv for NON-NEGATIVE (post-ReLU) inputs with the full 8-bit
+    range recovered via a fixed zero-point of 128.
+
+    Symmetric int8 wastes the sign bit on post-ReLU activations (effective
+    7-bit resolution — measured as a 0.28 AP50 drop on a converged model,
+    BENCHMARKS.md round 3). Here q = round(x/s) - 128 with s = max(x)/255,
+    so x ≈ s·(q + 128). Exactness under zero-padding: padding is applied in
+    the QUANTIZED domain with value -128 (which represents x = 0), making
+    conv(x)/s == conv_valid(q_pad) + 128·Σw[c] with the correction constant
+    per output channel — folded into the bias, no border terms. Both conv
+    operands remain int8 with int32 MXU accumulation.
+    """
+    m = smooth_factors(x, kernel)
+    wq, ws = quantize_weight_per_channel(
+        kernel.astype(jnp.float32) * m[None, None, :, None]
+    )
+    x32 = x.astype(jnp.float32) / m
+    amax = jnp.max(x32, initial=0.0)  # x >= 0: max is the range
+    scale = jnp.maximum(amax, 1e-12) / 255.0
+    return _conv_nonneg_core(
+        x32, scale, wq, ws, bias, strides, padding, dilation, x.dtype
+    )
 
 
 def observe_channel_amax(x: jnp.ndarray, nonneg: bool) -> jnp.ndarray:
@@ -161,6 +190,43 @@ def static_smooth_and_scale(
     return m, jnp.max(amax_c / m, initial=0.0)
 
 
+def _static_scale(amax: jnp.ndarray, qrange: float) -> jnp.ndarray:
+    """Per-tensor scale from a calibrated range, guarded against the
+    NEVER-CALIBRATED case: an all-zero stored range (e.g. the "quant"
+    collection initialized but no mutable-"quant" pass run, or calibration
+    run under a different FUTURE_OD_INT8_SKIP than inference) would give
+    scale ≈ 4e-15 and saturate every activation to the clip boundary —
+    constant garbage with no error. Fall back to scale = 1.0 (plain
+    round-to-integer quantization: degraded, not broken). For any
+    calibrated range (amax > 0) this matches the dynamic path's
+    max(amax, 1e-12)/qrange bit for bit."""
+    return jnp.where(amax > 0.0, jnp.maximum(amax, 1e-12), qrange) / qrange
+
+
+def assert_calibrated(quant_collection) -> None:
+    """Eager-side guard for the static-int8 path: raise if any stored range
+    in a "quant" collection is still all-zero (i.e. no mutable-"quant"
+    calibration pass ever observed that conv — e.g. calibration ran under a
+    different FUTURE_OD_INT8_SKIP than inference will). Inside jit the same
+    condition degrades gracefully to scale = 1.0 (see _static_scale); call
+    this from serving/bench entry points where the collection is concrete."""
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(quant_collection)[0]
+    dead = [
+        jax.tree_util.keystr(path)
+        for path, leaf in flat
+        if not (np.asarray(leaf) > 0).any()
+    ]
+    if dead:
+        raise ValueError(
+            "static-int8 'quant' collection has uncalibrated (all-zero) "
+            f"ranges: {dead} — run a calibration pass "
+            "(model.apply(..., mutable=['quant'])) with the same "
+            "FUTURE_OD_INT8_SKIP setting inference will use"
+        )
+
+
 def int8_conv_nonneg_static(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -176,37 +242,18 @@ def int8_conv_nonneg_static(
     merges with the preceding elementwise op. Given amax_c equal to the
     input's true per-channel range, the result is bit-identical to the
     dynamic path (tests/test_quant.py)."""
-    out_dtype = x.dtype
     m, amax = static_smooth_and_scale(amax_c, kernel)
     wq, ws = quantize_weight_per_channel(
         kernel.astype(jnp.float32) * m[None, None, :, None]
     )
-    scale = jnp.maximum(amax, 1e-12) / 255.0
+    scale = _static_scale(amax, 255.0)
     # same arithmetic ORDER as the dynamic path (x/m, then /scale) so the
     # result is bit-identical given exact ranges; XLA fuses the two divides
     # into the one elementwise pass either way
     x32 = x.astype(jnp.float32) / m
-    q = (
-        jnp.clip(jnp.round(x32 / scale), 0.0, 255.0) - 128.0
-    ).astype(jnp.int8)
-    pH, pW = tuple(padding[0]), tuple(padding[1])
-    if pH != (0, 0) or pW != (0, 0):
-        q = jnp.pad(
-            q, ((0, 0), pH, pW, (0, 0)), constant_values=jnp.int8(-128)
-        )
-    acc = jax.lax.conv_general_dilated(
-        q, wq, tuple(strides), [(0, 0), (0, 0)],
-        rhs_dilation=tuple(dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+    return _conv_nonneg_core(
+        x32, scale, wq, ws, bias, strides, padding, dilation, x.dtype
     )
-    zp_corr = 128 * jnp.sum(
-        wq.astype(jnp.int32), axis=tuple(range(wq.ndim - 1))
-    )
-    out = (acc + zp_corr).astype(jnp.float32) * (scale * ws)
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(out_dtype)
 
 
 def int8_conv_static(
@@ -221,24 +268,15 @@ def int8_conv_static(
     """`int8_conv` (signed symmetric, for the stem's signed inputs) with
     CALIBRATED per-channel ranges — same single-pass quantization as
     `int8_conv_nonneg_static`; zero padding is exact (0 maps to q=0)."""
-    out_dtype = x.dtype
     m, amax = static_smooth_and_scale(amax_c, kernel)
     wq, ws = quantize_weight_per_channel(
         kernel.astype(jnp.float32) * m[None, None, :, None]
     )
-    scale = jnp.maximum(amax, 1e-12) / QMAX
+    scale = _static_scale(amax, QMAX)
     x32 = x.astype(jnp.float32) / m
-    q = jnp.clip(jnp.round(x32 / scale), -QMAX, QMAX).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(
-        q, wq, tuple(strides), list(padding),
-        rhs_dilation=tuple(dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+    return _conv_signed_core(
+        x32, scale, wq, ws, bias, strides, padding, dilation, x.dtype
     )
-    out = acc.astype(jnp.float32) * (scale * ws)
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(out_dtype)
 
 
 def int8_conv(
@@ -255,19 +293,13 @@ def int8_conv(
     in); `bias` the folded BN shift. Quantizes both operands, convolves with
     int32 accumulation, dequantizes, adds bias. Output dtype follows x.
     """
-    out_dtype = x.dtype
     m = smooth_factors(x, kernel)
     wq, ws = quantize_weight_per_channel(
         kernel.astype(jnp.float32) * m[None, None, :, None]
     )
-    xq, xs = quantize_act_per_tensor(x.astype(jnp.float32) / m)
-    acc = jax.lax.conv_general_dilated(
-        xq, wq, tuple(strides), list(padding),
-        rhs_dilation=tuple(dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+    x32 = x.astype(jnp.float32) / m
+    amax = jnp.max(jnp.abs(x32), initial=0.0)
+    scale = jnp.maximum(amax, 1e-12) / QMAX
+    return _conv_signed_core(
+        x32, scale, wq, ws, bias, strides, padding, dilation, x.dtype
     )
-    out = acc.astype(jnp.float32) * (xs * ws)
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(out_dtype)

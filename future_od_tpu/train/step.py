@@ -83,7 +83,11 @@ def make_train_step(
         dropout_rng = jax.random.fold_in(rng, state.step)
         if mixed_precision:
             data = dict(data)
-            data["video"] = data["video"].astype(jnp.bfloat16)
+            # uint8 video must STAY uint8: the backbone's device_normalize
+            # branch keys on the dtype (resnet.py), and a bf16 cast here
+            # would silently feed raw 0-255 pixels to the net
+            if data["video"].dtype == jnp.float32:
+                data["video"] = data["video"].astype(jnp.bfloat16)
             frozen = _to_half(state.frozen, jnp.bfloat16)
 
             def fwd(p):
@@ -169,7 +173,9 @@ def make_host_matched_steps(
     def _cast(params, frozen, data):
         if mixed_precision:
             data = dict(data)
-            data["video"] = data["video"].astype(jnp.bfloat16)
+            # uint8 stays uint8 — device_normalize keys on the dtype
+            if data["video"].dtype == jnp.float32:
+                data["video"] = data["video"].astype(jnp.bfloat16)
             return _to_half(params, jnp.bfloat16), _to_half(frozen, jnp.bfloat16), data
         return params, frozen, data
 

@@ -105,6 +105,11 @@ class Trainer:
                 " set both flags the same way"
             )
         self._grad_report = None  # built lazily by _grad_audit
+        self._last_ap = None
+        # per-mode AP of the most recent epoch; always present so external
+        # consumers (tools/matcher_drift.py etc.) get a KeyError with the
+        # mode name — not an AttributeError — if an epoch never aggregated
+        self._ap_by_mode: Dict[str, Any] = {}
 
         # Stats meters per (mode, stat key) (trainer.py:71-77) + matcher
         # telemetry (auction rounds / unmatched actives).
@@ -411,8 +416,6 @@ class Trainer:
             np.stack(od_map_stuff_lst[3], axis=2),
         )
         self._last_ap = ap
-        if not hasattr(self, "_ap_by_mode"):
-            self._ap_by_mode = {}
         self._ap_by_mode[mode] = ap
         print("AP50 for epoch is:", " ".join(f"{v:.3f}" for v in ap["all"][0, :, 0]))
         print("MAP for epoch is:", " ".join(f"{v:.3f}" for v in ap["threshavg"][:, 0]))

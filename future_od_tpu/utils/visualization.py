@@ -23,10 +23,13 @@ COLOURS = np.stack(
 
 def revert_imagenet_normalization(image: np.ndarray) -> np.ndarray:
     """(H, W, 3) normalized -> [0, 1] RGB (uint8 device-normalize batches
-    arrive un-normalized and just rescale)."""
+    arrive un-normalized and just rescale). Callers must NOT pre-cast to
+    float — the uint8 branch keys on the input dtype; this function owns
+    the float32 conversion."""
+    image = np.asarray(image)
     if image.dtype == np.uint8:
         return image.astype(np.float32) / 255.0
-    return image * IMAGENET_STD + IMAGENET_MEAN
+    return image.astype(np.float32) * IMAGENET_STD + IMAGENET_MEAN
 
 
 def draw_boxes(image: np.ndarray, boxes: np.ndarray, colours: np.ndarray, thickness=3):
@@ -59,7 +62,7 @@ def visualize(
     classes may be int labels (annotations) or float score matrices (M, C)
     (predictions) — float scores are argmaxed and thresholded.
     """
-    vis = revert_imagenet_normalization(np.asarray(image, np.float32).copy())
+    vis = revert_imagenet_normalization(image)
     if boxes is not None and classes is not None:
         classes = np.asarray(classes)
         boxes = np.asarray(boxes)
@@ -96,7 +99,7 @@ def visualize_wandb(
         return None
 
     H, W = image.shape[:2]
-    img = revert_imagenet_normalization(np.asarray(image, np.float32))
+    img = revert_imagenet_normalization(image)
     boxes = {}
 
     def box_data(bxs, labels, scores=None):

@@ -201,3 +201,24 @@ class TestLoaderSpaceToDepth:
             plain["video"].reshape(4, 64, 96, 3)
         ))).reshape(2, 2, 32, 48, 12)
         np.testing.assert_allclose(packed["video"], want, atol=0)
+
+    def test_host_pack_helper_handles_batch_dims(self):
+        """host_space_to_depth is the single pack-layout definition shared
+        by Loader and bench.py — it must accept any leading dims and agree
+        with the 4-dim path."""
+        from future_od_tpu.data.loader import host_space_to_depth
+
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(3, 2, 8, 12, 3)).astype(np.float32)
+        out5 = host_space_to_depth(v)
+        assert out5.shape == (3, 2, 4, 6, 12)
+        out4 = np.stack([host_space_to_depth(v[i]) for i in range(3)])
+        np.testing.assert_array_equal(out5, out4)
+
+    def test_video_hw_packed_layouts(self):
+        from future_od_tpu.ops.misc import video_hw
+
+        assert video_hw(np.zeros((1, 2, 8, 12, 3))) == (8, 12)
+        assert video_hw(np.zeros((1, 2, 8, 12, 12))) == (16, 24)
+        # 4x4 (s2d4) packing: 48 channels -> 4x the stored dims
+        assert video_hw(np.zeros((1, 2, 8, 12, 48))) == (32, 48)

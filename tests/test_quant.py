@@ -272,6 +272,40 @@ class TestInt8Static:
         rel = float(jnp.linalg.norm(out_s - out_f) / jnp.linalg.norm(out_f))
         assert rel < 0.15, rel
 
+    def test_uncalibrated_ranges_degrade_not_saturate(self, rng):
+        """An all-zero stored range (no calibration pass ever ran) must fall
+        back to scale=1 quantization — NOT a ~4e-15 scale that saturates
+        every activation to the clip boundary."""
+        from future_od_tpu.ops.quant import (
+            int8_conv_nonneg,
+            int8_conv_nonneg_static,
+        )
+
+        x = jnp.abs(jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32)))
+        k = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32))
+        out = int8_conv_nonneg_static(x, k, jnp.zeros((4,), jnp.float32))
+        ref = int8_conv_nonneg(x, k)
+        assert np.isfinite(np.asarray(out)).all()
+        # scale=1 round-to-integer: degraded but the right magnitude, not
+        # the constant garbage a saturated clip would produce
+        rel = float(
+            jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)
+        )
+        assert rel < 1.0, rel
+
+    def test_assert_calibrated(self, rng):
+        from future_od_tpu.ops.quant import assert_calibrated
+
+        x = self._toy_input(rng, (1, 32, 32, 3))
+        _, m_s = self._models()
+        vs = m_s.init(jax.random.key(0), x)
+        assert_calibrated(vs["quant"])  # calibrated by init: no raise
+        import jax as _jax
+
+        dead = _jax.tree.map(lambda a: jnp.zeros_like(a), vs["quant"])
+        with pytest.raises(ValueError, match="uncalibrated"):
+            assert_calibrated(dead)
+
     def test_static_jits(self, rng):
         x = self._toy_input(rng, (1, 32, 32, 3))
         _, m_s = self._models()

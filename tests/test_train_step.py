@@ -162,6 +162,27 @@ class TestMixedPrecision:
         dtypes = {x.dtype for x in jax.tree.leaves(new_state.params)}
         assert dtypes == {jnp.dtype(jnp.float32)}
 
+    def test_uint8_video_survives_bf16_cast(self):
+        """Regression: the mixed-precision video cast must NOT touch uint8
+        video — an astype(bf16) there leaves 0-255 values that skip the
+        backbone's device_normalize dtype check, silently training on raw
+        pixels. uint8-fed and host-normalized-f32-fed bf16 steps must agree
+        exactly (device normalization is bitwise-equal by construction)."""
+        from future_od_tpu.data.transforms import remap_and_normalize
+
+        _, state, step, data = setup(mixed=True)
+        rng = np.random.default_rng(3)
+        u8 = rng.integers(
+            0, 256, size=data["video"].shape
+        ).astype(np.uint8)
+        data_u8 = dict(data, video=jnp.asarray(u8))
+        data_f32 = dict(
+            data, video=jnp.asarray(remap_and_normalize(u8))
+        )
+        _, loss_u8, *_ = step(state, data_u8, jax.random.key(1))
+        _, loss_f32, *_ = step(state, data_f32, jax.random.key(1))
+        assert float(loss_u8) == float(loss_f32)
+
 
 class TestMatcherTelemetry:
     def test_rounds_and_unmatched_in_losses_and_stats(self):

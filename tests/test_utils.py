@@ -38,6 +38,34 @@ class TestVisualization:
         visualize(img, scores, np.array([[5, 5, 20, 20], [1, 1, 9, 9]]), path, 2)
         assert os.path.exists(path)
 
+    def test_revert_normalization_uint8_branch_engages(self, rng):
+        """Regression: uint8 frames (device-normalize batches) must take the
+        /255 rescale, not the imagenet de-normalization — and the branch must
+        survive callers that pass plain arrays (no pre-cast to float)."""
+        from future_od_tpu.utils.visualization import (
+            revert_imagenet_normalization,
+        )
+
+        u8 = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        out = revert_imagenet_normalization(u8)
+        np.testing.assert_allclose(out, u8.astype(np.float32) / 255.0)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_visualize_uint8_roundtrip(self, tmp_path, rng):
+        """End-to-end through visualize(): a uint8 frame must come back as
+        itself (PNG pixel values == input), proving no imagenet math was
+        applied to 0-255 data."""
+        import cv2
+
+        from future_od_tpu.utils.visualization import visualize as vis_fn
+
+        u8 = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        path = str(tmp_path / "vis_u8.png")
+        vis_fn(u8, None, None, path, 9)
+        back = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        # /255 then *255 in float32 truncates at most one level
+        assert np.abs(back.astype(int) - u8.astype(int)).max() <= 1
+
 
 class TestCheckpointUtils:
     def test_atomic_overwrite_and_meta(self, tmp_path):
