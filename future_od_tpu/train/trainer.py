@@ -61,6 +61,7 @@ class Trainer:
         checkpoint_every_iters: int = 0,
         freeze_backbone_stem: bool = True,
         tracker=None,
+        prng_impl: str = "rbg",
     ):
         install_signal_handlers()
         self._model = model
@@ -90,7 +91,12 @@ class Trainer:
         self._checkpoint_every_iters = checkpoint_every_iters
         self._wandb_config = wandb_config or WandBConfig()
         self._mesh = mesh
-        self._rng = jax.random.key(seed)
+        # Dropout stream PRNG. The train forward draws ~1e9 dropout bits per
+        # b32 step (attention-weight + FFN dropout); threefry generates them
+        # in ~10 VPU ops/word while "rbg" uses the TPU hardware RNG — measured
+        # 300.5 -> 259.2 ms/step bf16 b32 (BENCHMARKS.md round 3). Resume is
+        # unaffected: the per-step key is fold_in(seed-key, step).
+        self._rng = jax.random.key(seed, impl=prng_impl)
         self._freeze_stem = freeze_backbone_stem
         if getattr(detr_args, "freeze_stem", None) is not None and (
             detr_args.freeze_stem != freeze_backbone_stem

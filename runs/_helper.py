@@ -60,6 +60,7 @@ def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loade
         checkpoint_epochs=not args.no_checkpoints,
         mixed_precision=getattr(args, "bf16", False),
         checkpoint_every_iters=getattr(args, "checkpoint_every_iters", 0),
+        prng_impl=getattr(args, "prng", "rbg"),
         tracker=tracker,
         wandb_config=WandBConfig(
             enabled=(not args.disable_wandb),
@@ -136,6 +137,11 @@ def add_tpu_args(parser):
     parser.add_argument(
         "--bf16", action="store_true", default=False,
         help="bfloat16 forward/backward with f32 master params (mixed precision)",
+    )
+    parser.add_argument(
+        "--prng", default="rbg", choices=["rbg", "threefry2x32"],
+        help="dropout-bit PRNG: rbg rides the TPU hardware RNG (-14%% step "
+        "time at b32 bf16); threefry2x32 for bit-exact cross-backend streams",
     )
     # Multi-host (one process per host; SURVEY.md §2.3). "auto" on Cloud TPU
     # pods; otherwise coordinator/num/id, or SLURM env is picked up directly.

@@ -63,6 +63,32 @@ class TestLrSchedule:
         assert max(jax.tree.leaves(moved)) == 0.0
 
 
+class TestRbgDropoutKey:
+    def test_rbg_key_threads_through_the_step(self):
+        """The Trainer's production dropout PRNG is 'rbg' (TPU hardware RNG;
+        threefry costs ~10 VPU ops per word of the ~1e9 dropout bits a b32
+        step draws — measured 300.5 -> 259.2 ms bf16, BENCHMARKS.md round 3).
+        The jitted step must accept a typed rbg key (fold_in inside) and the
+        resulting dropout stream must differ from threefry's."""
+        model, state, step, data = setup()
+        s_rbg, loss_rbg, *_ = step(state, data, jax.random.key(1, impl="rbg"))
+        assert np.isfinite(float(loss_rbg))
+        # same seed, different impl => different dropout bits => different loss
+        _, loss_tf, *_ = step(state, data, jax.random.key(1, impl="threefry2x32"))
+        assert float(loss_rbg) != float(loss_tf)
+        # and params moved under the rbg arm
+        d0 = state.params["core"]["detector"]["class_embed"]["kernel"]
+        d1 = s_rbg.params["core"]["detector"]["class_embed"]["kernel"]
+        assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+    def test_trainer_default_is_rbg(self):
+        import inspect
+
+        from future_od_tpu.train.trainer import Trainer
+
+        assert inspect.signature(Trainer.__init__).parameters["prng_impl"].default == "rbg"
+
+
 class TestFreezeMask:
     def test_labels(self):
         model, state, _, _ = setup()
