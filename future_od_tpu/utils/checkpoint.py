@@ -57,7 +57,18 @@ def load_checkpoint(
         return None
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
-            arrays = ckptr.restore(os.path.join(path, ARRAYS_DIR), item=target)
+            # Restore every leaf with the TARGET's sharding, not the stored
+            # one: without explicit restore_args orbax replays the sharding
+            # recorded at save time, which cannot be reconstructed when the
+            # saving platform differs (e.g. a TPU-trained checkpoint opened
+            # for CPU eval fails with "sharding ... Got None").
+            from orbax.checkpoint import checkpoint_utils
+
+            arrays = ckptr.restore(
+                os.path.join(path, ARRAYS_DIR),
+                item=target,
+                restore_args=checkpoint_utils.construct_restore_args(target),
+            )
         else:
             arrays = ckptr.restore(os.path.join(path, ARRAYS_DIR))
     meta_path = os.path.join(path, META_FILE)

@@ -81,6 +81,22 @@ class TestCheckpointUtils:
     def test_missing_returns_none(self, tmp_path):
         assert load_checkpoint(str(tmp_path), "nope") is None
 
+    def test_restore_uses_target_sharding_not_stored(self, tmp_path):
+        """Regression: restore must place leaves per the TARGET, not replay
+        the sharding recorded at save time. Without explicit restore_args,
+        orbax reconstructs the saved sharding — which crashes with
+        'sharding ... Got None' when the saving platform differs (observed:
+        an axon-TPU-saved run checkpoint could not be opened for CPU eval)."""
+        import jax
+
+        dev0, dev1 = jax.devices()[0], jax.devices()[1]
+        tree = {"w": jax.device_put(jnp.arange(6.0), dev0)}
+        save_checkpoint(str(tmp_path), "ck", tree, {})
+        target = {"w": jax.device_put(jnp.zeros(6), dev1)}
+        arrays, _ = load_checkpoint(str(tmp_path), "ck", target=target)
+        np.testing.assert_allclose(arrays["w"], np.arange(6.0))
+        assert arrays["w"].devices() == {dev1}
+
     def test_stale_tmp_cleaned(self, tmp_path):
         os.makedirs(tmp_path / "ck.tmp")  # crashed previous save
         tree = {"a": jnp.ones(2)}
