@@ -190,6 +190,7 @@ def set_criterion(
     targets: Dict[str, jnp.ndarray],
     cfg: CriterionConfig,
     pred_idx_all: Optional[jnp.ndarray] = None,
+    num_boxes: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full criterion over the final level + aux levels (set_criterion.py:172-217).
 
@@ -199,9 +200,15 @@ def set_criterion(
     pred_idx_all: optional externally-solved indices (A, B, N) — A matching
     `matching_costs_all`'s level count — used by the host-matched split step;
     when given, no solver runs inside this function.
+    num_boxes: optional normalizer override. Every loss term is a per-sample
+    sum divided by this count, so a caller that splits a batch into
+    micro-batches (gradient accumulation, train/step.py) passes the
+    FULL-batch count here and sums the micro losses — exactly the unsplit
+    loss. Default: this batch's active-target count (global under GSPMD).
     Returns a dict of per-loss scalars, aux levels suffixed `_{i}`.
     """
-    num_boxes = jnp.maximum(targets["active"].sum().astype(jnp.float32), 1.0)
+    if num_boxes is None:
+        num_boxes = jnp.maximum(targets["active"].sum().astype(jnp.float32), 1.0)
     aux = list(outputs.get("aux_outputs", [])) if cfg.aux_loss else []
 
     if pred_idx_all is not None:

@@ -189,8 +189,12 @@ def compute_loss(
     data: Dict[str, jnp.ndarray],
     criterion_cfg: CriterionConfig,
     pred_idx_all: Optional[jnp.ndarray] = None,
+    num_boxes: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Set loss + the reference's stat dict (st_detr.py:169-188)."""
+    """Set loss + the reference's stat dict (st_detr.py:169-188).
+
+    num_boxes: optional normalizer override for micro-batched callers
+    (gradient accumulation) — see set_criterion."""
     H, W = video_hw(data["video"])
     targets = to_detr_targets(
         H, W, data["active"], data["boxes"], data["classes"]
@@ -206,7 +210,9 @@ def compute_loss(
                 "boxes/classes slots (no bundled dataset emits them)"
             )
         targets = {**targets, "masks": data["masks"]}
-    losses = set_criterion(annotated_output, targets, criterion_cfg, pred_idx_all)
+    losses = set_criterion(
+        annotated_output, targets, criterion_cfg, pred_idx_all, num_boxes
+    )
     num_aux = len(annotated_output.get("aux_outputs", []))
     total, weights = weighted_total(losses, criterion_cfg, num_aux)
     stats = {
@@ -218,6 +224,7 @@ def compute_loss(
         "matcher_rounds": losses["matcher_rounds"],
         "matcher_unmatched": losses["matcher_unmatched"],
     }
+    assert set(stats) == set(STAT_IDFS)
     return total, stats
 
 

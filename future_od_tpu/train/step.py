@@ -22,7 +22,12 @@ import optax
 
 from future_od_tpu.metrics.od_map import prepare_od_map_stuffs
 from future_od_tpu.models.set_criterion import CriterionConfig
-from future_od_tpu.models.st_detr import compute_loss, normalize_outputs, post_process
+from future_od_tpu.models.st_detr import (
+    STAT_IDFS,
+    compute_loss,
+    normalize_outputs,
+    post_process,
+)
 from future_od_tpu.ops.misc import video_hw
 
 
@@ -41,14 +46,15 @@ BATCH_KEYS_FOR_LOSS = (
 
 
 def _forward_and_loss(model, criterion_cfg: CriterionConfig, params, frozen, data,
-                      deterministic: bool, dropout_rng=None, pred_idx_all=None):
+                      deterministic: bool, dropout_rng=None, pred_idx_all=None,
+                      num_boxes=None):
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
     out = model.apply(
         {"params": params, "frozen": frozen}, data,
         deterministic=deterministic, rngs=rngs,
     )
     annotated, pred_logits, pred_boxes = normalize_outputs(out, data)
-    loss, stats = compute_loss(annotated, data, criterion_cfg, pred_idx_all)
+    loss, stats = compute_loss(annotated, data, criterion_cfg, pred_idx_all, num_boxes)
     return loss, (stats, pred_logits, pred_boxes)
 
 
@@ -70,17 +76,29 @@ def _to_half(tree, dtype):
 
 def make_train_step(
     model, criterion_cfg: CriterionConfig, tx: optax.GradientTransformation,
-    mixed_precision: bool = False,
+    mixed_precision: bool = False, accum_steps: int = 1,
 ) -> Callable:
     """Returns train_step(state, data, rng) ->
     (state, loss, stats, od_map_stuffs, output).
 
     mixed_precision: run the forward/backward in bfloat16 (params cast inside
     the grad fn, so master params, loss math, gradients, and optimizer state
-    stay f32 — bf16 needs no loss scaling)."""
+    stay f32 — bf16 needs no loss scaling).
 
-    def train_step(state: TrainState, data: Dict[str, jnp.ndarray], rng):
-        dropout_rng = jax.random.fold_in(rng, state.step)
+    accum_steps: gradient accumulation — split the batch into this many
+    micro-batches and lax.scan the forward/backward over them, holding only
+    one micro-batch's activations live at a time (the memory lever for large
+    per-chip batches; the reference scales batch only by adding GPUs). The
+    result is EXACT, not approximate: matching is per-sample, every loss
+    term is a per-sample sum normalized by num_boxes, and the micro losses
+    are normalized by the FULL batch's num_boxes (set_criterion num_boxes
+    override), so summed micro grads == unsplit grads, global-norm clip and
+    AdamW then apply once to the summed tree. Post-proc/mAP run once on the
+    reassembled full-batch predictions, so those outputs are bit-identical
+    to accum_steps=1. Only the dropout draw differs (per-micro fold_in) and
+    class_error is the mean of per-micro means (logging only)."""
+
+    def _cast_data(data):
         if mixed_precision:
             data = dict(data)
             # uint8 video must STAY uint8: the backbone's device_normalize
@@ -88,12 +106,17 @@ def make_train_step(
             # would silently feed raw 0-255 pixels to the net
             if data["video"].dtype == jnp.float32:
                 data["video"] = data["video"].astype(jnp.bfloat16)
+        return data
+
+    def _grad_fn(state, data, dropout_rng, num_boxes=None):
+        if mixed_precision:
             frozen = _to_half(state.frozen, jnp.bfloat16)
 
             def fwd(p):
                 return _forward_and_loss(
                     model, criterion_cfg, _to_half(p, jnp.bfloat16), frozen, data,
                     deterministic=False, dropout_rng=dropout_rng,
+                    num_boxes=num_boxes,
                 )
 
         else:
@@ -102,17 +125,91 @@ def make_train_step(
                 return _forward_and_loss(
                     model, criterion_cfg, p, state.frozen, data,
                     deterministic=False, dropout_rng=dropout_rng,
+                    num_boxes=num_boxes,
                 )
 
-        grad_fn = jax.value_and_grad(fwd, has_aux=True)
-        (loss, (stats, pred_logits, pred_boxes)), grads = grad_fn(state.params)
+        return jax.value_and_grad(fwd, has_aux=True)
+
+    def _apply(state, grads):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, state.frozen, opt_state, state.step + 1)
+        return TrainState(params, state.frozen, opt_state, state.step + 1)
+
+    def train_step(state: TrainState, data: Dict[str, jnp.ndarray], rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        data = _cast_data(data)
+        (loss, (stats, pred_logits, pred_boxes)), grads = _grad_fn(
+            state, data, dropout_rng
+        )(state.params)
+        new_state = _apply(state, grads)
         output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
         return new_state, loss, stats, od_map_stuffs, output
 
-    return train_step
+    def train_step_accum(state: TrainState, data: Dict[str, jnp.ndarray], rng):
+        K = accum_steps
+        B = data["active"].shape[0]
+        if B % K != 0:
+            raise ValueError(f"batch {B} not divisible by accum_steps {K}")
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        data = _cast_data(data)
+        # Full-batch normalizer: micro losses summed under it == unsplit loss.
+        num_boxes = jnp.maximum(data["active"].sum().astype(jnp.float32), 1.0)
+
+        # Interleaved split, (B, ...) -> (K, B/K, ...) with micro-batch k
+        # taking rows [k::K]: each device's contiguous dp shard contributes
+        # local/K rows to every micro-batch, so under GSPMD the reshape and
+        # the swap are shard-local (no resharding collectives).
+        def split(x):
+            return x.reshape(B // K, K, *x.shape[1:]).swapaxes(0, 1)
+
+        micro = {
+            k: split(v)
+            for k, v in data.items()
+            if hasattr(v, "shape") and v.shape[:1] == (B,)
+        }
+        static = {k: v for k, v in data.items() if k not in micro}
+
+        def body(carry, xs):
+            grads_acc, loss_acc, stats_acc = carry
+            k, data_k = xs
+            (loss_k, (stats_k, logits_k, boxes_k)), grads_k = _grad_fn(
+                state, {**static, **data_k},
+                jax.random.fold_in(dropout_rng, k), num_boxes,
+            )(state.params)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads_k)
+            # Exact combination per stat: the loss-derived stats are already
+            # /num_boxes(full) sums -> add; matcher_rounds is a max;
+            # the remaining means average over equal-size micro-batches.
+            stats_acc = {
+                name: (
+                    jnp.maximum(stats_acc[name], v)
+                    if name == "matcher_rounds"
+                    else stats_acc[name]
+                    + (v if name in ("labels", "box_l1", "box_giou") else v / K)
+                )
+                for name, v in stats_k.items()
+            }
+            return (grads_acc, loss_acc + loss_k, stats_acc), (logits_k, boxes_k)
+
+        zeros_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        zeros_stats = {name: jnp.zeros((), jnp.float32) for name in STAT_IDFS}
+        (grads, loss, stats), (logits_m, boxes_m) = jax.lax.scan(
+            body,
+            (zeros_grads, jnp.zeros((), jnp.float32), zeros_stats),
+            (jnp.arange(K, dtype=jnp.uint32), micro),
+        )
+        new_state = _apply(state, grads)
+        # Reassemble (K, B/K, ...) -> original row order, then post-proc once
+        # on the full batch (bit-identical to the unsplit step's outputs).
+        unsplit = lambda y: y.swapaxes(0, 1).reshape(B, *y.shape[2:])
+        output, od_map_stuffs = _postproc_and_map(
+            unsplit(logits_m), unsplit(boxes_m), data
+        )
+        return new_state, loss, stats, od_map_stuffs, output
+
+    return train_step if accum_steps == 1 else train_step_accum
 
 
 def make_host_matched_steps(

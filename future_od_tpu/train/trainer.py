@@ -62,6 +62,7 @@ class Trainer:
         freeze_backbone_stem: bool = True,
         tracker=None,
         prng_impl: str = "rbg",
+        accum_steps: int = 1,
     ):
         install_signal_handlers()
         self._model = model
@@ -181,6 +182,12 @@ class Trainer:
         if self._host_matched:
             from future_od_tpu.train.step import make_host_matched_steps
 
+            if accum_steps != 1:
+                raise ValueError(
+                    "accum_steps is not supported on the host-matched "
+                    "exact-Hungarian arm (it is the parity-validation path, "
+                    "not the production trainer)"
+                )
             self._train_step, self._eval_step = make_host_matched_steps(
                 model, self._criterion_cfg, self._tx,
                 mixed_precision=mixed_precision,
@@ -197,7 +204,8 @@ class Trainer:
             return
 
         train_fn = make_train_step(
-            model, self._criterion_cfg, self._tx, mixed_precision=mixed_precision
+            model, self._criterion_cfg, self._tx, mixed_precision=mixed_precision,
+            accum_steps=accum_steps,
         )
         eval_fn = make_eval_step(model, self._criterion_cfg)
         if mesh is not None:

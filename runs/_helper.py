@@ -61,6 +61,7 @@ def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loade
         mixed_precision=getattr(args, "bf16", False),
         checkpoint_every_iters=getattr(args, "checkpoint_every_iters", 0),
         prng_impl=getattr(args, "prng", "rbg"),
+        accum_steps=getattr(args, "accum", 1),
         tracker=tracker,
         wandb_config=WandBConfig(
             enabled=(not args.disable_wandb),
@@ -137,6 +138,13 @@ def add_tpu_args(parser):
     parser.add_argument(
         "--bf16", action="store_true", default=False,
         help="bfloat16 forward/backward with f32 master params (mixed precision)",
+    )
+    parser.add_argument(
+        "--accum", type=int, default=1,
+        help="gradient-accumulation micro-steps: scan the fwd/bwd over "
+        "batch/accum micro-batches, holding one micro-batch's activations "
+        "at a time (exact — micro losses share the full-batch num_boxes "
+        "normalizer; see train/step.py)",
     )
     parser.add_argument(
         "--prng", default="rbg", choices=["rbg", "threefry2x32"],

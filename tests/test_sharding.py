@@ -87,6 +87,51 @@ class TestSharding:
         l2 = jax.tree.leaves(s2.params)[0]
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-5)
 
+    def test_dp_accum_matches_single_device(self):
+        """Gradient accumulation under a dp mesh: the interleaved micro-split
+        is shard-local (each device's contiguous shard contributes local/K
+        rows to every micro-batch), so the accumulated step must equal the
+        unsharded unsplit step — same loss, same updated params."""
+        import tests.test_models as tm
+
+        args = SpatioTemporalDETRArgs(**TINY, dropout=0.0)
+        model = build_flagship(args)
+        data = tm.make_data(np.random.default_rng(0), B=8, L=2, H=64, W=64, N=8)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        tx, opt_state = build_optimizer(
+            variables["params"], lr=1e-4, lr_backbone=1e-4, max_norm=0.1
+        )
+        state = TrainState(
+            variables["params"], variables["frozen"], opt_state, jnp.int32(0)
+        )
+        rng = jax.random.key(1)
+        base = jax.jit(make_train_step(model, args.criterion_config(), tx))
+        s1, loss1, *_ = base(state, data, rng)
+
+        mesh = make_mesh(num_data=8, num_model=1)
+        repl = NamedSharding(mesh, P())
+        state_sh = TrainState(
+            params=jax.tree.map(lambda _: repl, state.params),
+            frozen=jax.tree.map(lambda _: repl, state.frozen),
+            opt_state=jax.tree.map(lambda _: repl, state.opt_state),
+            step=repl,
+        )
+        state2 = jax.device_put(state, state_sh)
+        data2 = jax.device_put(
+            data, jax.tree.map(lambda _: batch_sharding(mesh), data)
+        )
+        accum = jax.jit(
+            make_train_step(model, args.criterion_config(), tx, accum_steps=2),
+            in_shardings=(
+                state_sh, jax.tree.map(lambda _: batch_sharding(mesh), data), repl
+            ),
+            out_shardings=(state_sh, repl, repl, repl, repl),
+        )
+        s2, loss2, *_ = accum(state2, data2, rng)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+        l1, l2 = jax.tree.leaves(s1.params)[0], jax.tree.leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2.5e-4)
+
     def test_host_matched_split_step_on_dp_mesh(self):
         # --matcher hungarian's split-step arm over a data-parallel mesh
         # (VERDICT r2 next #8): the jitted cost pass gathers replicated costs,

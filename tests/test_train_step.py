@@ -89,6 +89,77 @@ class TestRbgDropoutKey:
         assert inspect.signature(Trainer.__init__).parameters["prng_impl"].default == "rbg"
 
 
+class TestGradAccum:
+    def _setup(self, accum, mixed=False):
+        import tests.test_models as tm
+
+        args = SpatioTemporalDETRArgs(**TINY, dropout=0.0)
+        model = build_flagship(args)
+        data = tm.make_data(np.random.default_rng(0), B=4, L=2, H=64, W=64, N=8)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        tx, opt_state = build_optimizer(
+            variables["params"], lr=1e-4, lr_backbone=1e-5, max_norm=0.1
+        )
+        state = TrainState(
+            variables["params"], variables["frozen"], opt_state, jnp.int32(0)
+        )
+        step = jax.jit(
+            make_train_step(
+                model, args.criterion_config(), tx,
+                mixed_precision=mixed, accum_steps=accum,
+            )
+        )
+        return state, step, data
+
+    def test_accum_is_exact(self):
+        """accum_steps=2 must reproduce the unsplit step: micro losses are
+        normalized by the FULL batch's num_boxes and summed, matching is
+        per-sample, and post-proc runs once on the reassembled predictions —
+        so loss, stats, updated params, and mAP tensors all agree (dropout=0
+        so the per-micro rng fold is inert)."""
+        state1, step1, data = self._setup(accum=1)
+        state2, step2, _ = self._setup(accum=2)
+        key = jax.random.key(1)
+        s1, loss1, stats1, map1, out1 = step1(state1, data, key)
+        s2, loss2, stats2, map2, out2 = step2(state2, data, key)
+        assert np.isfinite(float(loss1))
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+        for k in ("labels", "box_l1", "box_giou", "cardinality",
+                  "matcher_unmatched"):
+            np.testing.assert_allclose(
+                float(stats1[k]), float(stats2[k]), rtol=1e-5, atol=1e-6,
+                err_msg=k,
+            )
+        # AdamW at step 0 is sign-like (g/sqrt(g^2)), so f32 reassociation of
+        # the micro-grad sum can flip near-zero elements by up to 2*lr=2e-4;
+        # the loss/stats/map equalities above carry the exactness claim.
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=2.5e-4
+            ),
+            s1.params, s2.params,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            (map1, out1), (map2, out2),
+        )
+
+    def test_accum_mixed_precision_runs(self):
+        state, step, data = self._setup(accum=2, mixed=True)
+        s, loss, *_ = step(state, data, jax.random.key(1))
+        assert np.isfinite(float(loss))
+        d0 = state.params["core"]["detector"]["class_embed"]["kernel"]
+        d1 = s.params["core"]["detector"]["class_embed"]["kernel"]
+        assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+    def test_indivisible_batch_raises(self):
+        state, step, data = self._setup(accum=3)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, data, jax.random.key(1))
+
+
 class TestFreezeMask:
     def test_labels(self):
         model, state, _, _ = setup()
