@@ -72,8 +72,15 @@ def main():
     state = TrainState(variables["params"], variables["frozen"], opt_state, jnp.int32(0))
     import os
     mixed = os.environ.get("MIXED", "0") == "1"
+    # BENCH_ACCUM=K scans the fwd/bwd over K micro-batches (exact; one
+    # micro-batch's activations live at a time) — the memory lever that
+    # lifts the per-chip batch ceiling at stage-2 shapes.
+    accum = int(os.environ.get("BENCH_ACCUM", "1"))
     step = jax.jit(
-        make_train_step(model, args.criterion_config(), tx, mixed_precision=mixed),
+        make_train_step(
+            model, args.criterion_config(), tx, mixed_precision=mixed,
+            accum_steps=accum,
+        ),
         donate_argnums=(0,),
     )
 
