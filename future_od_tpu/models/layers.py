@@ -120,17 +120,14 @@ def attend_heads(
         if deterministic:
             from future_od_tpu.ops.flash_attention import flash_attention
 
-            # 512/1536 is the embedded-measured winner at encoder shapes
-            # (BENCHMARKS.md); FUTURE_OD_FLASH_BQ/_BK override for A/B —
-            # read HERE because an explicit block size bypasses the
-            # kernel's own env/auto logic
+            # block sizes: delegate to the kernel's auto logic (full-row
+            # q blocks under a VMEM guard — the embedded-measured winner,
+            # +5.1% bench.py; FUTURE_OD_FLASH_BQ/_BK env knobs for A/B)
             out = flash_attention(
                 qh.transpose(0, 2, 1, 3),
                 kh.transpose(0, 2, 1, 3),
                 vh.transpose(0, 2, 1, 3),
                 scale,
-                block_q=int(os.environ.get("FUTURE_OD_FLASH_BQ", 512)),
-                block_k=int(os.environ.get("FUTURE_OD_FLASH_BK", 1536)),
             )  # (B, H, Nq, dv)
         else:
             from future_od_tpu.ops.flash_attention import flash_attention_train

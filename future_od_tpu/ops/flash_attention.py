@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 1536
+DEFAULT_BLOCK_K = 1536
 NEG_INF = -1e30
 LSE_LANES = 128  # lse/delta rows are lane-broadcast for legal TPU tiling
 
@@ -119,10 +119,11 @@ def flash_attention(
 
     Block sizes default to whole-sequence blocks (one program per (b, h),
     k-length padded to 128 instead of a block multiple) subject to a VMEM
-    cap on the f32 logits tile: at encoder shapes (B·H=192, T=1400) the
-    shipped fixed blocks ran 1152 tiny programs per layer and per-program
-    overhead dominated — measured 5.95 ms vs 4.62 ms whole-sequence
-    (tools/bench_flash_blocks.py, chained timing, b24).
+    cap on the f32 logits tile: at encoder shapes (B·H=192, T=1400) fixed
+    (512, 512) blocks ran 576 small programs per layer and per-program
+    overhead dominated — standalone 6.26 ms vs 5.46 ms whole-sequence
+    (tools/bench_flash_blocks.py, chained timing, b24), embedded
+    105.5 → 110.9 clips/s bench.py (ABBA, one window).
     """
     B, H, Nq, d = q.shape
     Nk = k.shape[2]
@@ -131,10 +132,12 @@ def flash_attention(
     import os
 
     if block_q is None:
-        # q-block cap: whole-sequence q blocks won standalone but LOST
-        # embedded (bench.py 111.3 -> 105.3 with bq=1400/bk=1536 at the
-        # encoder shape) — the large f32 logits tile starves XLA's
-        # surrounding fusions of VMEM. Default stays moderate; env knobs
+        # q-block cap: whole-sequence q blocks (one program per (b, h))
+        # win EMBEDDED since the exp2/single-masked-block kernel rework —
+        # bench.py ABBA in one window: bq=512 105.5/105.4 vs full-row
+        # 110.8/110.9 clips/s (+5.1%); bq=1400 and 1408 measure identical.
+        # (A pre-rework A/B had the opposite sign — stale, do not trust.)
+        # The 12 MB logits-tile guard below still bounds VMEM; env knobs
         # for A/B (FUTURE_OD_FLASH_BQ / _BK).
         cap_q = int(os.environ.get("FUTURE_OD_FLASH_BQ", DEFAULT_BLOCK_Q))
         block_q = min(-(-Nq // 16) * 16, cap_q)
