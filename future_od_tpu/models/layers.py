@@ -100,7 +100,8 @@ def attend_heads(
     # Gates are EMBEDDED full-step measurements, not standalone kernel wins
     # (BENCHMARKS.md round 2). Inference flash wins at full-res key counts
     # (+17% full-model throughput at 1400 keys) but LOSES at 448x800's 350
-    # keys (516 -> 483 clips/s) — threshold 1024. The custom-vjp TRAIN
+    # keys (474 -> 431 clips/s, re-measured round 3 with full-row blocks)
+    # — threshold 1024. The custom-vjp TRAIN
     # kernels lose embedded at every measured shape (stage-1 350 keys:
     # 991 -> 1823 ms f32; stage-2 1400 keys: 609 -> 693 ms bf16) — XLA's
     # fused einsum attention wins on this toolchain — so the train path is
@@ -108,7 +109,10 @@ def attend_heads(
     import os
 
     if deterministic:
-        use_flash = kh.shape[1] >= 1024 and flash_allowed()
+        # threshold re-confirmed round 3 with full-row blocks (flash still
+        # -9% at 350 keys); FUTURE_OD_FLASH_MIN_KEYS overrides for A/B
+        min_keys = int(os.environ.get("FUTURE_OD_FLASH_MIN_KEYS", 1024))
+        use_flash = kh.shape[1] >= min_keys and flash_allowed()
     else:
         use_flash = (
             os.environ.get("FUTURE_OD_TRAIN_FLASH", "0") == "1"
