@@ -72,6 +72,38 @@ class TestFlashKernelInterpret:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+class TestFlashAutoBlocks:
+    """block_q/block_k=None — the production inference path since round 3
+    (layers.attend_heads delegates block choice to the kernel's auto
+    logic: whole-sequence blocks under the VMEM guard, with the
+    round-to-8/128 clamps)."""
+
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (1, 2, 1400, 1400, 32, 32),  # encoder: full-row 1400/1408 blocks
+            (1, 1, 7, 5, 16, 16),        # tiny: clamps floor at 8/128
+            (1, 1, 300, 1400, 64, 32),   # decoder cross-attn proportions
+        ],
+    )
+    def test_auto_matches_reference(self, rng, shape):
+        B, H, Nq, Nk, d, dv = shape
+        q, k, v = make_qkv(rng, B, H, Nq, Nk, d, dv)
+        scale = 1.0 / np.sqrt(d)
+        out = flash_attention(q, k, v, scale, interpret=True)
+        ref = reference_attention(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_env_knobs_honored(self, rng, monkeypatch):
+        # the A/B knobs must reach the auto logic (trace-time env read)
+        q, k, v = make_qkv(rng, 1, 1, 64, 256, 16, 16)
+        monkeypatch.setenv("FUTURE_OD_FLASH_BQ", "32")
+        monkeypatch.setenv("FUTURE_OD_FLASH_BK", "128")
+        out = flash_attention(q, k, v, 0.25, interpret=True)
+        ref = reference_attention(q, k, v, 0.25)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 class TestFlashTrainInterpret:
     """Differentiable flash attention (custom-vjp Pallas fwd/bwd) in
     interpret mode: values + gradients vs the einsum reference, and the
