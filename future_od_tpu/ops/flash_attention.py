@@ -15,7 +15,9 @@ mode (tests/test_flash_attention.py).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -30,6 +32,33 @@ LSE_LANES = 128  # lse/delta rows are lane-broadcast for legal TPU tiling
 
 
 LOG2E = 1.4426950408889634
+
+
+@contextlib.contextmanager
+def flash_block_env(block_q: int | None = None, block_k: int | None = None):
+    """Trace-time override of the auto block-size caps.
+
+    The best block geometry is PROGRAM-dependent (see flash_attention's
+    docstring): whole-sequence q-blocks win the batch-eval program but
+    lose the server's fused encode+ring-scatter program by 35 %. Callers
+    that jit a program with a measured-different optimum wrap the call
+    that triggers tracing (the knobs are read at trace time, then baked
+    into the compiled program). Defers to an explicitly-set user env var
+    so the FUTURE_OD_FLASH_BQ/_BK A/B knobs keep working.
+    """
+    saved = {}
+    try:
+        for key, val in (
+            ("FUTURE_OD_FLASH_BQ", block_q),
+            ("FUTURE_OD_FLASH_BK", block_k),
+        ):
+            if val is not None and key not in os.environ:
+                saved[key] = None
+                os.environ[key] = str(val)
+        yield
+    finally:
+        for key in saved:
+            os.environ.pop(key, None)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, kv_len, block_k):
@@ -129,16 +158,17 @@ def flash_attention(
     Nk = k.shape[2]
     dv = v.shape[3]
 
-    import os
-
     if block_q is None:
         # q-block cap: whole-sequence q blocks (one program per (b, h))
-        # win EMBEDDED since the exp2/single-masked-block kernel rework —
-        # bench.py ABBA in one window: bq=512 105.5/105.4 vs full-row
-        # 110.8/110.9 clips/s (+5.1%); bq=1400 and 1408 measure identical.
-        # (A pre-rework A/B had the opposite sign — stale, do not trust.)
-        # The 12 MB logits-tile guard below still bounds VMEM; env knobs
-        # for A/B (FUTURE_OD_FLASH_BQ / _BK).
+        # win EMBEDDED in the batch-eval program since the exp2/
+        # single-masked-block kernel rework — bench.py ABBA in one window:
+        # bq=512 105.5/105.4 vs full-row 110.8/110.9 clips/s (+5.1%);
+        # bq=1400 and 1408 measure identical. The choice is PROGRAM-
+        # dependent: the multi-stream server's fused encode+ring-scatter
+        # program measures the OPPOSITE (152 -> 98 clips/s with full-row;
+        # monotonic in block_q: 512 > 704 > 1408), so serve/server.py pins
+        # its geometry via flash_block_env. The 12 MB logits-tile guard
+        # below bounds VMEM; env knobs for A/B (FUTURE_OD_FLASH_BQ / _BK).
         cap_q = int(os.environ.get("FUTURE_OD_FLASH_BQ", DEFAULT_BLOCK_Q))
         block_q = min(-(-Nq // 16) * 16, cap_q)
     if block_k is None:
