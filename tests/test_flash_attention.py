@@ -94,6 +94,28 @@ class TestFlashAutoBlocks:
         ref = reference_attention(q, k, v, scale)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
+    def test_flash_block_env_sets_and_restores(self, monkeypatch):
+        import os
+        from future_od_tpu.ops.flash_attention import flash_block_env
+
+        monkeypatch.delenv("FUTURE_OD_FLASH_BQ", raising=False)
+        monkeypatch.delenv("FUTURE_OD_FLASH_BK", raising=False)
+        with flash_block_env(block_q=512, block_k=1536):
+            assert os.environ["FUTURE_OD_FLASH_BQ"] == "512"
+            assert os.environ["FUTURE_OD_FLASH_BK"] == "1536"
+        assert "FUTURE_OD_FLASH_BQ" not in os.environ
+        assert "FUTURE_OD_FLASH_BK" not in os.environ
+
+    def test_flash_block_env_defers_to_user_env(self, monkeypatch):
+        # explicit A/B knobs must win over a caller's pinned geometry
+        import os
+        from future_od_tpu.ops.flash_attention import flash_block_env
+
+        monkeypatch.setenv("FUTURE_OD_FLASH_BQ", "64")
+        with flash_block_env(block_q=512):
+            assert os.environ["FUTURE_OD_FLASH_BQ"] == "64"
+        assert os.environ["FUTURE_OD_FLASH_BQ"] == "64"
+
     def test_env_knobs_honored(self, rng, monkeypatch):
         # the A/B knobs must reach the auto logic (trace-time env read)
         q, k, v = make_qkv(rng, 1, 1, 64, 256, 16, 16)
