@@ -202,8 +202,19 @@ class MultiStreamServer:
         max_batch/num_chips DISTINCT streams with frames queued — one frame
         per stream per dispatch, so a flooding stream queues instead of
         starving others."""
+        frame_has_imu = frame.get("translation") is not None
         if self._has_imu is None:
-            self._has_imu = frame.get("translation") is not None
+            self._has_imu = frame_has_imu
+        elif frame_has_imu != self._has_imu:
+            # fail BEFORE any bookkeeping mutates: a mixed fleet would
+            # otherwise either silently drop a stream's IMU (first frame
+            # had none) or KeyError mid-dispatch after queue pops
+            raise ValueError(
+                f"stream {stream_id!r} {'has' if frame_has_imu else 'lacks'} "
+                f"IMU but this server was opened "
+                f"{'with' if self._has_imu else 'without'} IMU — all streams "
+                "must agree (the jitted encode has one signature)"
+            )
         state = self._streams.get(stream_id)
         if state is None:
             # pin new streams to the least-loaded chip with free capacity

@@ -169,6 +169,8 @@ class Trainer:
                 step=repl,
             )
             self._batch_shard = batch_sharding(mesh)
+            self._batch_repl = repl
+            self._mesh_data = mesh.shape["data"]
             self.state = jax.device_put(self.state, self._state_shardings)
         else:
             self._batch_shard = None
@@ -243,8 +245,17 @@ class Trainer:
 
         arrays = {k: v for k, v in batch.items() if k in ARRAY_KEYS}
         if self._batch_shard is not None:
+            # ragged trailing eval batches (val loaders keep the partial
+            # batch) can't split over the data axis — replicate those; the
+            # new shape retraces the eval step anyway
+            batch_rows = next(iter(arrays.values())).shape[0]
+            shard = (
+                self._batch_shard
+                if batch_rows % self._mesh_data == 0
+                else self._batch_repl
+            )
             arrays = jax.device_put(
-                arrays, jax.tree.map(lambda _: self._batch_shard, arrays)
+                arrays, jax.tree.map(lambda _: shard, arrays)
             )
         return arrays
 
@@ -386,7 +397,15 @@ class Trainer:
             for key, value in stats.items():
                 self._stats[f"{mode} {key} loss"].update(value, 1)
 
-            if loss > hardest["loss"]:
+            # only the W&B visualization block consumes the hardest batch —
+            # without it, skip the per-new-max device->host prediction copy
+            # and don't retain the full host batch for the whole epoch
+            if (
+                loss > hardest["loss"]
+                and self._wandb_config.enabled
+                and self._wandb is not None
+                and self._epoch in self._visualization_epochs
+            ):
                 hardest = {"loss": loss, "data": batch, "output": _to_host(output)}
 
             if i * batch_size < AP_IMAGE_CAP:
@@ -471,10 +490,16 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
+        import dataclasses
+
         meta = {
             "net_type": type(self._model).__name__,
             "epoch": self._epoch,
             "stats": {k: m.state_dict() for k, m in self._stats.items()},
+            # architecture travels with the artifact: deployment entries
+            # (runs/serve.py) rebuild the model from this instead of
+            # trusting their CLI defaults to match the training run
+            "detr_args": dataclasses.asdict(self._args),
         }
         save_checkpoint(self._checkpoint_path, self._save_name, arrays, meta)
         if is_final:
@@ -482,7 +507,7 @@ class Trainer:
                 self._checkpoint_path,
                 self._save_name + "_final",
                 {"params": self.state.params, "frozen": self.state.frozen},
-                {"net_type": meta["net_type"]},
+                {"net_type": meta["net_type"], "detr_args": meta["detr_args"]},
             )
 
     def load_checkpoint(self, checkpoint: Optional[str] = None, load_only_net=False):

@@ -47,6 +47,17 @@ def save_checkpoint(
     return path
 
 
+def load_checkpoint_meta(checkpoint_dir: str, name: str) -> Optional[dict]:
+    """Read just the JSON meta sidecar of <dir>/<name> (None when absent).
+    Cheap: lets callers learn the checkpoint's architecture (meta
+    "detr_args") BEFORE building the model/restore target."""
+    meta_path = os.path.join(_path(checkpoint_dir, name), META_FILE)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def load_checkpoint(
     checkpoint_dir: str, name: str, target: Optional[Any] = None
 ) -> Optional[Tuple[Any, dict]]:

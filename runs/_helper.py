@@ -27,6 +27,37 @@ def category_dict_for(train_loader):
     return nu_scenes.CATEGORY_DICT
 
 
+def _build_mesh(args, train_loader):
+    """Size and build the ("data", "model") mesh for this run, or None on a
+    single device. The data axis takes every device the model axis doesn't,
+    clipped to the largest size that divides the global batch (jit requires
+    the batch to split evenly over "data"); the model axis stays intra-host
+    (parallel/distributed.mesh_axes). Single device + mesh_model 1 -> None,
+    the unsharded fast path."""
+    import jax
+
+    num_model = int(getattr(args, "mesh_model", 1))
+    if jax.device_count() == 1 and num_model == 1:
+        return None
+    from future_od_tpu.parallel.distributed import mesh_axes
+    from future_od_tpu.parallel.mesh import make_mesh
+
+    num_data, num_model = mesh_axes(
+        jax.device_count(), jax.local_device_count(), num_model
+    )
+    batch = getattr(train_loader, "batch_size", None)
+    if batch:
+        while num_data > 1 and batch % num_data:
+            num_data -= 1
+    if num_data * num_model == 1:
+        return None
+    print(
+        f"device mesh: data={num_data} model={num_model} "
+        f"({jax.device_count()} devices visible)"
+    )
+    return make_mesh(num_data, num_model)
+
+
 def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loaders,
                 tracker=None):
     import jax
@@ -44,9 +75,12 @@ def get_trainer(args, config, detr_args, lr_func, model, train_loader, val_loade
             "host-matched split step (exact, ~1.5x step cost)."
         )
 
+    mesh = _build_mesh(args, train_loader)
+
     trainer = Trainer(
         model=model,
         detr_args=detr_args,
+        mesh=mesh,
         train_loader=train_loader,
         val_loaders=val_loaders,
         checkpoint_path=config["checkpoint_path"],

@@ -37,8 +37,11 @@ IMU = [("translation", 3), ("acceleration", 3), ("rotation", 4),
 def build_parser():
     parser = argparse.ArgumentParser(description="Multi-stream serving entry")
     parser.add_argument("--checkpoint", default=None,
-                        help="checkpoint name under config checkpoint_path "
+                        help="checkpoint name under --checkpoint_dir "
                         "(e.g. a trainer <name>_final); random init if absent")
+    parser.add_argument("--checkpoint_dir", default=None,
+                        help="checkpoint directory (default: the repo "
+                        "config checkpoint_path)")
     parser.add_argument("--streams", default=24, type=int)
     parser.add_argument("--max_batch", default=12, type=int)
     parser.add_argument("--max_streams", default=64, type=int)
@@ -68,12 +71,33 @@ def main():
     from future_od_tpu.models.build import build_flagship
     from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
     from future_od_tpu.serve import MultiStreamServer
-    from future_od_tpu.utils.checkpoint import load_checkpoint
-
-    H, W = args.img_size
-    detr_args = SpatioTemporalDETRArgs(
-        num_classes=args.num_classes, num_queries=128, lr_backbone=1e-4
+    from future_od_tpu.utils.checkpoint import (
+        load_checkpoint,
+        load_checkpoint_meta,
     )
+
+    ckpt_dir = args.checkpoint_dir or config["checkpoint_path"]
+    H, W = args.img_size
+    # Serve the architecture the checkpoint was TRAINED with (meta sidecar)
+    # — CLI defaults can silently diverge (e.g. an encode_offset run has an
+    # identical param tree, so a mismatched load would succeed and detect
+    # wrongly). CLI args only apply to meta-less/random-init runs.
+    meta = (
+        load_checkpoint_meta(ckpt_dir, args.checkpoint)
+        if args.checkpoint else None
+    )
+    if meta and meta.get("detr_args"):
+        import dataclasses
+
+        fields = {f.name for f in dataclasses.fields(SpatioTemporalDETRArgs)}
+        detr_args = SpatioTemporalDETRArgs(
+            **{k: v for k, v in meta["detr_args"].items() if k in fields}
+        )
+        print("model architecture from checkpoint meta")
+    else:
+        detr_args = SpatioTemporalDETRArgs(
+            num_classes=args.num_classes, num_queries=128, lr_backbone=1e-4
+        )
     model = build_flagship(detr_args)
 
     init_data = {
@@ -85,14 +109,17 @@ def main():
         lambda k: model.init({"params": k}, init_data, deterministic=True)
     )(jax.random.key(0))
     if args.checkpoint:
-        restored = load_checkpoint(config["checkpoint_path"], args.checkpoint)
+        # target-derived restore (as demo.py): leaves adopt THIS process's
+        # placement instead of replaying the save-time sharding — a
+        # TPU-trained checkpoint must open on any serving host/topology
+        restored = load_checkpoint(
+            ckpt_dir, args.checkpoint,
+            target={"params": variables["params"], "frozen": variables["frozen"]},
+        )
         if restored is None:
             raise SystemExit(f"checkpoint not found: {args.checkpoint}")
         arrays, _meta = restored
-        variables = {
-            "params": jax.tree.map(jnp.asarray, arrays["params"]),
-            "frozen": jax.tree.map(jnp.asarray, arrays["frozen"]),
-        }
+        variables = {"params": arrays["params"], "frozen": arrays["frozen"]}
         print(f"loaded checkpoint {args.checkpoint}")
     if args.bf16:
         variables = jax.tree.map(
@@ -117,8 +144,11 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def frame_source(stream_id, t):
-        """Synthetic stand-in for a camera/decoder callback."""
+    # Pre-generate a small frame pool OUTSIDE the timed loop: host RNG for a
+    # (896, 1600, 3) frame costs tens of ms and nproc may be 1, so in-loop
+    # generation would time frame synthesis, not the serving fabric. A real
+    # deployment replaces this with camera/decoder callbacks.
+    def make_frame():
         if args.device_normalize:
             video = rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8)
         else:
@@ -128,7 +158,15 @@ def main():
             f[key] = rng.normal(size=(d,)).astype(np.float32)
         return f
 
-    submit_t, latencies, clips = {}, [], 0
+    pool = [make_frame() for _ in range(min(args.streams, 8))]
+
+    def frame_source(stream_id, t):
+        return pool[(stream_id + t) % len(pool)]
+
+    from collections import deque
+
+    submit_t = {s: deque() for s in range(args.streams)}
+    latencies, clips = [], 0
 
     def consume(results):
         nonlocal clips
@@ -136,7 +174,10 @@ def main():
             np.asarray(out["boxes"])  # one sync per dispatch
             done = time.perf_counter()
             for sid, _row in placements:
-                latencies.append(done - submit_t[sid])
+                # clips complete in submit order within a stream: pop the
+                # OLDEST pending submit so queued frames are timed from
+                # their own submission, not the stream's latest
+                latencies.append(done - submit_t[sid].popleft())
             clips += len(placements)
 
     # warm up (compile + fill windows), then serve
@@ -147,7 +188,7 @@ def main():
     t0 = time.perf_counter()
     for t in range(args.rounds):
         for s in range(args.streams):
-            submit_t[s] = time.perf_counter()
+            submit_t[s].append(time.perf_counter())
             consume(server.submit(s, frame_source(s, t)))
     consume(server.flush())
     elapsed = time.perf_counter() - t0

@@ -48,6 +48,58 @@ def test_eval_script_help(script):
         assert flag in result.stdout, f"{script} missing {flag}"
 
 
+def test_train_cli_builds_mesh_on_multidevice_host():
+    """The run scripts must actually train over the visible devices: on an
+    8-virtual-device host, get_trainer auto-builds the ("data","model") mesh
+    (data axis clipped to divide the debug batch of 2) and a full synthetic
+    epoch — train steps AND ragged-final-val-batch eval — completes.
+    Regression: the --mesh_model flag used to be parsed but never wired, so
+    every CLI run silently trained on one device."""
+    env = dict(
+        os.environ,
+        PYTHONPATH="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    result = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "runs/nuim_single_frame.py"),
+            "--debug", "--synthetic", "--epochs", "1", "--disable_wandb",
+            "--no_checkpoints", "--restart", "--prng", "threefry2x32",
+        ],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "device mesh: data=2 model=1" in result.stdout, result.stdout[-2000:]
+
+
+def test_serve_cli_loads_checkpoint_arch_from_meta(tmp_path):
+    """Deployment must serve the architecture the checkpoint was TRAINED
+    with: the Trainer writes detr_args into the meta sidecar and
+    runs/serve.py rebuilds the model from it (a CLI-default model would have
+    a different param tree here — hidden_dim 32 vs 256 — so a successful
+    load+serve proves the meta path), restoring with a target so placement
+    adapts to the serving host."""
+    from tests.test_trainer_e2e import make_trainer
+
+    trainer, _ = make_trainer(tmp_path)
+    trainer.save_checkpoint(is_final=True)
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "runs/serve.py"),
+            "--checkpoint", "e2e_test_final",
+            "--checkpoint_dir", str(tmp_path / "ckpt"),
+            "--img_size", "64", "96", "--streams", "2", "--max_batch", "2",
+            "--rounds", "2",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "model architecture from checkpoint meta" in result.stdout
+    assert "loaded checkpoint e2e_test_final" in result.stdout
+
+
 def test_bench_and_demo_importable():
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     for mod in ["bench", "bench_train", "demo"]:

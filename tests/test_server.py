@@ -243,3 +243,46 @@ def test_random_arrival_schedule_matches_sessions():
                 np.asarray(g["boxes"]), np.asarray(w["boxes"]),
                 rtol=0, atol=1e-5,
             )
+
+
+def test_mixed_imu_streams_rejected_before_bookkeeping():
+    """IMU presence is a server-wide contract (one jitted encode signature):
+    a frame disagreeing with the established mode must be rejected BEFORE
+    any queue/slot bookkeeping mutates — previously the first stream latched
+    the mode and later IMU-less frames KeyError'd mid-dispatch (or a later
+    IMU stream was silently served without its IMU)."""
+    import pytest
+
+    model, variables = make_model()
+    rng = np.random.default_rng(0)
+    server = MultiStreamServer(model, variables, max_batch=2, clip_frames=L)
+    server.submit("a", make_frame(rng))  # establishes IMU mode
+    bare = {"video": rng.normal(size=(H, W, 3)).astype(np.float32)}
+    with pytest.raises(ValueError, match="IMU"):
+        server.submit("b", bare)
+    # the offending stream must have left no state behind
+    assert "b" not in server._streams
+    # and the server still serves the conforming fleet
+    for t in range(L):
+        server.submit("a", make_frame(rng))
+        server.submit("c", make_frame(rng))
+    assert server.flush()
+
+
+def test_imu_less_fleet_served():
+    """The inverse mode: a fleet opened WITHOUT IMU keeps working, and an
+    IMU-carrying late joiner is rejected."""
+    import pytest
+
+    model, variables = make_model()
+    rng = np.random.default_rng(1)
+    server = MultiStreamServer(model, variables, max_batch=2, clip_frames=L)
+    bare = lambda: {"video": rng.normal(size=(H, W, 3)).astype(np.float32)}
+    outs = []
+    for t in range(L + 1):
+        outs += server.submit("a", bare())
+        outs += server.submit("b", bare())
+    outs += server.flush()
+    assert outs
+    with pytest.raises(ValueError, match="IMU"):
+        server.submit("late", make_frame(rng))

@@ -19,7 +19,8 @@ TINY = dict(
 )
 
 
-def make_trainer(tmp_path, n_train=8, n_val=4, batch=2, **arg_overrides):
+def make_trainer(tmp_path, n_train=8, n_val=4, batch=2, mesh=None,
+                 val_drop_last=True, **arg_overrides):
     args = SpatioTemporalDETRArgs(**{**TINY, **arg_overrides})
     model = build_flagship(args)
     train_ds = SyntheticClipDataset(
@@ -30,11 +31,13 @@ def make_trainer(tmp_path, n_train=8, n_val=4, batch=2, **arg_overrides):
     )
     train_loader = Loader(train_ds, batch_size=batch, shuffle=True, num_workers=2)
     val_loader = Loader(
-        val_ds, batch_size=batch, shuffle=False, seed=VAL_SEED, num_workers=2
+        val_ds, batch_size=batch, shuffle=False, seed=VAL_SEED, num_workers=2,
+        drop_last=val_drop_last,
     )
     trainer = Trainer(
         model=model,
         detr_args=args,
+        mesh=mesh,
         train_loader=train_loader,
         val_loaders={"val0": val_loader},
         checkpoint_path=str(tmp_path / "ckpt"),
@@ -152,6 +155,29 @@ class TestEndToEnd:
         v_sf = sf.init({"params": jax.random.key(0)}, single, deterministic=True)
         v_tb = tb.init({"params": jax.random.key(0)}, data, deterministic=True)
         assert jax.tree.structure(v_sf["params"]) == jax.tree.structure(v_tb["params"])
+
+    def test_mesh_epoch_with_ragged_val_batch(self, tmp_path):
+        """A dp-mesh epoch must survive the val loader's trailing partial
+        batch (val keeps drop_last=False in the run scripts): batches that
+        don't divide the data axis fall back to replicated placement
+        (trainer._device_batch) instead of crashing device_put."""
+        from future_od_tpu.parallel.mesh import make_mesh
+
+        trainer, _ = make_trainer(
+            tmp_path, n_train=4, n_val=5, batch=2,
+            mesh=make_mesh(2, 1), val_drop_last=False,
+        )
+        # [2, 2, 1] val batches: the final one is ragged
+        assert len(trainer._val_loaders["val0"]) == 3
+        trainer.train(1)
+        trainer.eval()
+        for key, meter in trainer._stats.items():
+            if meter.count:
+                assert np.isfinite(meter.avg), key
+        assert any(
+            meter.count for key, meter in trainer._stats.items()
+            if key.startswith("val0")
+        )
 
     def test_loss_decreases_on_overfit(self, tmp_path):
         # overfit 4 fixed clips for several epochs: total train loss must drop
