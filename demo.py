@@ -44,9 +44,28 @@ def main():
     args = parser.parse_args()
 
     num_classes = args.num_classes or len(CATEGORY_DICT)
-    detr_args = SpatioTemporalDETRArgs(
-        num_classes=num_classes, num_queries=128, lr_backbone=1e-4
-    )
+    # demo the architecture the checkpoint was trained with (meta sidecar,
+    # as runs/serve.py); CLI defaults apply to random-init runs only
+    meta = None
+    if args.checkpoint:
+        from future_od_tpu.utils.checkpoint import load_checkpoint_meta
+
+        meta = load_checkpoint_meta(
+            os.path.dirname(args.checkpoint) or ".",
+            os.path.basename(args.checkpoint),
+        )
+    if meta and meta.get("detr_args"):
+        import dataclasses
+
+        fields = {f.name for f in dataclasses.fields(SpatioTemporalDETRArgs)}
+        detr_args = SpatioTemporalDETRArgs(
+            **{k: v for k, v in meta["detr_args"].items() if k in fields}
+        )
+        print("model architecture from checkpoint meta")
+    else:
+        detr_args = SpatioTemporalDETRArgs(
+            num_classes=num_classes, num_queries=128, lr_backbone=1e-4
+        )
     model = build_flagship(detr_args, store_attention=True)
 
     ds = SyntheticClipDataset(num_samples=1, image_size=(256, 448), seed=11)

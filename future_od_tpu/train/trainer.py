@@ -564,6 +564,21 @@ class Trainer:
         assert meta.get("net_type") == type(self._model).__name__, (
             "Network is not of correct type"
         )
+        if meta.get("detr_args"):
+            import dataclasses
+
+            # param-free behavioral flags load cleanly from a mismatched
+            # config but change semantics — warn loudly (structural
+            # mismatches already fail in the tree restore above)
+            ours = dataclasses.asdict(self._args)
+            for key in ("encode_offset", "no_imu_speed", "space_to_depth"):
+                saved = meta["detr_args"].get(key)
+                if saved is not None and saved != ours.get(key):
+                    print(
+                        f"WARNING: checkpoint was trained with {key}={saved} "
+                        f"but this run uses {key}={ours.get(key)} — outputs "
+                        "will be wrong unless this is intentional."
+                    )
         if load_only_net:
             self.state = self.state._replace(
                 params=arrays["params"], frozen=arrays["frozen"]

@@ -179,6 +179,16 @@ class TestEndToEnd:
             if key.startswith("val0")
         )
 
+    def test_behavioral_arch_mismatch_warns_on_load(self, tmp_path, capsys):
+        """encode_offset is param-free: a mismatched load succeeds silently
+        at the tree level, so the trainer must warn from the meta sidecar."""
+        trainer, _ = make_trainer(tmp_path)
+        trainer.save_checkpoint()
+        other, _ = make_trainer(tmp_path, encode_offset=True)
+        other.load_checkpoint()
+        out = capsys.readouterr().out
+        assert "encode_offset=False" in out and "WARNING" in out
+
     def test_loss_decreases_on_overfit(self, tmp_path):
         # overfit 4 fixed clips for several epochs: total train loss must drop
         trainer, args = make_trainer(tmp_path, n_train=4, batch=2)
