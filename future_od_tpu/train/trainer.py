@@ -6,6 +6,14 @@ AP accumulation, hardest-batch tracking, visualization schedule, W&B,
 checkpoint save/load, signal-based clean exit) over jitted steps. All compute
 stays in one XLA program per step; the host loop only moves scalars, the tiny
 AP accumulator tensors, and (on visualization steps) the prediction dict.
+
+Unlike the reference's loop (which blocks on `loss.item()` every iteration),
+the epoch loop here runs one step AHEAD of its host bookkeeping: step i+1 is
+dispatched before step i's loss/stats/AP tensors are fetched, so host work
+(meter updates, prints, AP accumulation — each fetch a full tunnel round trip
+on remote-relay backends) overlaps device compute instead of stalling it.
+The jitted steps chain on device through the donated TrainState, so no host
+value is needed to keep the device busy.
 """
 from __future__ import annotations
 
@@ -23,7 +31,11 @@ from future_od_tpu.models.set_criterion import CriterionConfig
 from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
 from future_od_tpu.train.optimizer import build_optimizer, get_lr_func, set_learning_rates
 from future_od_tpu.train.step import TrainState, make_eval_step, make_train_step
-from future_od_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from future_od_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    save_checkpoint_async,
+)
 from future_od_tpu.utils.signals import EXIT, install_signal_handlers
 from future_od_tpu.utils.stats import AverageMeter
 from future_od_tpu.utils.visualization import visualize, visualize_wandb
@@ -130,6 +142,7 @@ class Trainer:
 
         self._epoch = 0
         self._training_iterations = 0
+        self._pending_saves = []  # in-flight async checkpoint writes
         self._wandb = None
         self._batch_shard = None  # set below when a mesh is given
 
@@ -280,10 +293,12 @@ class Trainer:
             for meter in self._stats.values():
                 meter.new_epoch()
             if EXIT.is_set():
+                self.flush_saves()
                 return
             if self._save_checkpoints:
                 print("Saving Checkpoint")
                 self.save_checkpoint(is_final=(epoch == max_epochs))
+        self.flush_saves()
         print("Finished training!")
 
     def eval(self):
@@ -373,14 +388,58 @@ class Trainer:
         stats_keys = list(self._stat_idfs)
         t_start = time.time()
 
-        for i, batch in enumerate(data_loader):
-            if EXIT.is_set():
-                return
-            data = self._device_batch(batch)
-            visualize_now = (
+        def consume(i, batch, loss, stats, od_map_stuffs, output):
+            # Host-side bookkeeping for step i's results. Runs AFTER step i+1
+            # has been dispatched (one-step lag), so every device->host fetch
+            # here overlaps step i+1's device compute instead of stalling it.
+            # One batched device_get replaces the per-scalar fetches (each a
+            # full tunnel round trip on the remote-relay backend).
+            ap_collect = i * batch_size < AP_IMAGE_CAP
+            loss, stats, od_map_host = jax.device_get(
+                (loss, stats, od_map_stuffs if ap_collect else ())
+            )
+            loss = float(loss)
+            for key, value in stats.items():
+                self._stats[f"{mode} {key} loss"].update(float(value), 1)
+            if ap_collect:
+                for idx, elem in enumerate(od_map_host):
+                    od_map_stuff_lst[idx].append(np.asarray(elem))
+
+            # only the W&B visualization block consumes the hardest batch —
+            # without it, skip the per-new-max device->host prediction copy
+            # and don't retain the full host batch for the whole epoch
+            if (
+                loss > hardest["loss"]
+                and self._wandb_config.enabled
+                and self._wandb is not None
+                and self._epoch in self._visualization_epochs
+            ):
+                hardest.update(loss=loss, data=batch, output=_to_host(output))
+
+            if (
                 i in self._visualization_iterations
                 and self._epoch in self._visualization_epochs
-            )
+            ):
+                self.visualize_batch(batch, _to_host(output), mode)
+            if (i + 1) % self._print_interval == 0:
+                loss_str = "  ".join(
+                    f"{self._stats[f'{mode} {k} loss'].avg:.5f} ({k})"
+                    for k in stats_keys
+                )
+                print(
+                    f"[{mode}: {self._epoch}, {i + 1:4d}/{num_iterations}] Loss: {loss_str}."
+                )
+
+        # FUTURE_OD_NO_PIPELINE=1: consume each step's results before
+        # dispatching the next (the reference's blocking loop) — A/B knob.
+        lag = os.environ.get("FUTURE_OD_NO_PIPELINE", "0") != "1"
+        pending = None
+        for i, batch in enumerate(data_loader):
+            if EXIT.is_set():
+                if pending is not None:
+                    consume(*pending)
+                return
+            data = self._device_batch(batch)
 
             if training:
                 if i == 0 and (self._epoch == 1 or self._wandb_config.watch_model):
@@ -392,28 +451,13 @@ class Trainer:
             else:
                 loss, stats, od_map_stuffs, output = self._eval_step(self.state, data)
 
-            loss = float(np.asarray(loss))
-            stats = {k: float(np.asarray(v)) for k, v in stats.items()}
-            for key, value in stats.items():
-                self._stats[f"{mode} {key} loss"].update(value, 1)
+            if pending is not None:
+                consume(*pending)
+            pending = (i, batch, loss, stats, od_map_stuffs, output)
+            if not lag:
+                consume(*pending)
+                pending = None
 
-            # only the W&B visualization block consumes the hardest batch —
-            # without it, skip the per-new-max device->host prediction copy
-            # and don't retain the full host batch for the whole epoch
-            if (
-                loss > hardest["loss"]
-                and self._wandb_config.enabled
-                and self._wandb is not None
-                and self._epoch in self._visualization_epochs
-            ):
-                hardest = {"loss": loss, "data": batch, "output": _to_host(output)}
-
-            if i * batch_size < AP_IMAGE_CAP:
-                for idx, elem in enumerate(od_map_stuffs):
-                    od_map_stuff_lst[idx].append(np.asarray(elem))
-
-            if visualize_now:
-                self.visualize_batch(batch, _to_host(output), mode)
             if (
                 training
                 and self._checkpoint_every_iters
@@ -423,15 +467,10 @@ class Trainer:
                 # Mid-epoch checkpoint (TPU-native extra beyond the reference's
                 # per-epoch saves): survives preemption of long epochs. Resume
                 # restarts the epoch, which matches the reference's semantics.
+                # (Async: only the host copy of this step's state blocks.)
                 self.save_checkpoint()
-            if (i + 1) % self._print_interval == 0:
-                loss_str = "  ".join(
-                    f"{self._stats[f'{mode} {k} loss'].avg:.5f} ({k})"
-                    for k in stats_keys
-                )
-                print(
-                    f"[{mode}: {self._epoch}, {i + 1:4d}/{num_iterations}] Loss: {loss_str}."
-                )
+        if pending is not None:
+            consume(*pending)
 
         loss_items = [
             (self._stats[f"{mode} {k} loss"].avg, k) for k in stats_keys
@@ -478,6 +517,12 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------
+    def flush_saves(self):
+        """Commit any in-flight async checkpoint writes (atomic rename)."""
+        for pending in self._pending_saves:
+            pending.wait()
+        self._pending_saves = []
+
     def save_checkpoint(self, is_final: bool = False):
         from future_od_tpu.parallel.distributed import is_main_process
 
@@ -501,20 +546,42 @@ class Trainer:
             # trusting their CLI defaults to match the training run
             "detr_args": dataclasses.asdict(self._args),
         }
-        save_checkpoint(self._checkpoint_path, self._save_name, arrays, meta)
-        if is_final:
-            save_checkpoint(
-                self._checkpoint_path,
-                self._save_name + "_final",
-                {"params": self.state.params, "frozen": self.state.frozen},
-                {"net_type": meta["net_type"], "detr_args": meta["detr_args"]},
+        # Async write: orbax copies the arrays to host before returning, so
+        # the next epoch's steps (which DONATE the state buffers) start
+        # immediately while serialization + disk IO run in the background.
+        # flush_saves() commits; the previous checkpoint stays intact until
+        # then. FUTURE_OD_SYNC_CKPT=1 restores fully blocking saves.
+        self.flush_saves()  # at most one in-flight write per name
+        if os.environ.get("FUTURE_OD_SYNC_CKPT", "0") == "1":
+            save_checkpoint(self._checkpoint_path, self._save_name, arrays, meta)
+        else:
+            self._pending_saves.append(
+                save_checkpoint_async(
+                    self._checkpoint_path, self._save_name, arrays, meta
+                )
             )
+        if is_final:
+            final_arrays = {"params": self.state.params, "frozen": self.state.frozen}
+            final_meta = {"net_type": meta["net_type"], "detr_args": meta["detr_args"]}
+            if os.environ.get("FUTURE_OD_SYNC_CKPT", "0") == "1":
+                save_checkpoint(
+                    self._checkpoint_path, self._save_name + "_final",
+                    final_arrays, final_meta,
+                )
+            else:
+                self._pending_saves.append(
+                    save_checkpoint_async(
+                        self._checkpoint_path, self._save_name + "_final",
+                        final_arrays, final_meta,
+                    )
+                )
 
     def load_checkpoint(self, checkpoint: Optional[str] = None, load_only_net=False):
         """checkpoint: None -> <ckpt_path>/<save_name>; str -> explicit path
         split into (dir, name). A path ending in .pth/.pth.tar is treated as a
         reference torch checkpoint and converted
         (utils/checkpoint_convert.py) — net-only by nature."""
+        self.flush_saves()  # a load must see any write this process started
         if checkpoint is not None and checkpoint.endswith((".pth", ".pth.tar")):
             import torch
 

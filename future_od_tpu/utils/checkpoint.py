@@ -47,6 +47,57 @@ def save_checkpoint(
     return path
 
 
+class PendingSave:
+    """Handle for an in-flight async checkpoint write.
+
+    `save_checkpoint_async` returns one; call `wait()` to finalize (meta
+    sidecar write + atomic rename). Orbax's AsyncCheckpointer copies the
+    arrays to host BEFORE returning from save(), so the caller may keep
+    training — including donating the state buffers to the next step —
+    while serialization and disk IO run in a background thread.
+    """
+
+    def __init__(self, ckptr: "ocp.AsyncCheckpointer", tmp: str, path: str,
+                 meta: Optional[dict]):
+        self._ckptr = ckptr
+        self._tmp = tmp
+        self._path = path
+        self._meta = meta
+        self._done = False
+
+    def wait(self) -> str:
+        if self._done:
+            return self._path
+        self._ckptr.wait_until_finished()
+        self._ckptr.close()
+        with open(os.path.join(self._tmp, META_FILE), "w") as f:
+            json.dump(self._meta or {}, f)
+        if os.path.exists(self._path):
+            shutil.rmtree(self._path)
+        os.replace(self._tmp, self._path)
+        self._done = True
+        return self._path
+
+
+def save_checkpoint_async(
+    checkpoint_dir: str, name: str, arrays: Any, meta: Optional[dict] = None
+) -> PendingSave:
+    """Start an asynchronous atomic overwrite of <dir>/<name>. The previous
+    checkpoint stays intact until the returned handle's `wait()` commits the
+    new one (same crash-safety as the synchronous `save_checkpoint`).
+    Callers must not start a second save for the same name before waiting
+    on the first (the temp directory is per-name)."""
+    path = _path(checkpoint_dir, name)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    ckptr.save(os.path.join(tmp, ARRAYS_DIR), arrays)
+    return PendingSave(ckptr, tmp, path, meta)
+
+
 def load_checkpoint_meta(checkpoint_dir: str, name: str) -> Optional[dict]:
     """Read just the JSON meta sidecar of <dir>/<name> (None when absent).
     Cheap: lets callers learn the checkpoint's architecture (meta

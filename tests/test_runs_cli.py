@@ -84,6 +84,7 @@ def test_serve_cli_loads_checkpoint_arch_from_meta(tmp_path):
 
     trainer, _ = make_trainer(tmp_path)
     trainer.save_checkpoint(is_final=True)
+    trainer.flush_saves()  # commit the async write before the subprocess reads it
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     result = subprocess.run(
         [

@@ -184,10 +184,40 @@ class TestEndToEnd:
         at the tree level, so the trainer must warn from the meta sidecar."""
         trainer, _ = make_trainer(tmp_path)
         trainer.save_checkpoint()
+        trainer.flush_saves()  # commit before another instance reads it
         other, _ = make_trainer(tmp_path, encode_offset=True)
         other.load_checkpoint()
         out = capsys.readouterr().out
         assert "encode_offset=False" in out and "WARNING" in out
+
+    def test_pipelined_loop_matches_blocking(self, tmp_path, monkeypatch):
+        """The one-step-lagged host loop (dispatch step i+1 before fetching
+        step i's stats) must be a pure scheduling change: meters and AP are
+        identical to the reference-style blocking loop
+        (FUTURE_OD_NO_PIPELINE=1)."""
+        trainer, _ = make_trainer(tmp_path, n_train=4, batch=2)
+        trainer._save_checkpoints = False
+        trainer.train(max_epochs=1)
+        stats_pipe = {
+            k: m.avg for k, m in trainer._stats.items() if m.count
+        }
+        ap_pipe = trainer._last_ap
+
+        monkeypatch.setenv("FUTURE_OD_NO_PIPELINE", "1")
+        trainer2, _ = make_trainer(tmp_path, n_train=4, batch=2)
+        trainer2._save_checkpoints = False
+        trainer2.train(max_epochs=1)
+        stats_block = {
+            k: m.avg for k, m in trainer2._stats.items() if m.count
+        }
+        assert stats_pipe.keys() == stats_block.keys()
+        for k in stats_pipe:
+            np.testing.assert_allclose(
+                stats_pipe[k], stats_block[k], rtol=1e-6, err_msg=k
+            )
+        np.testing.assert_allclose(
+            ap_pipe["all"], trainer2._last_ap["all"], equal_nan=True
+        )
 
     def test_loss_decreases_on_overfit(self, tmp_path):
         # overfit 4 fixed clips for several epochs: total train loss must drop

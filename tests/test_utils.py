@@ -103,6 +103,27 @@ class TestCheckpointUtils:
         save_checkpoint(str(tmp_path), "ck", tree, {})
         assert load_checkpoint(str(tmp_path), "ck", target=tree) is not None
 
+    def test_async_save_commits_on_wait(self, tmp_path):
+        """Async saves only become visible at wait(): the previous
+        checkpoint stays intact while a write is in flight, and wait() is
+        idempotent."""
+        from future_od_tpu.utils.checkpoint import save_checkpoint_async
+
+        tree = {"a": jnp.arange(3.0)}
+        save_checkpoint(str(tmp_path), "ck", tree, {"epoch": 1})
+        pending = save_checkpoint_async(
+            str(tmp_path), "ck", {"a": jnp.arange(3.0) * 5}, {"epoch": 2}
+        )
+        # the committed checkpoint is still epoch 1 until wait()
+        _, meta = load_checkpoint(str(tmp_path), "ck", target=tree)
+        assert meta["epoch"] == 1
+        pending.wait()
+        pending.wait()  # idempotent
+        arrays, meta = load_checkpoint(str(tmp_path), "ck", target=tree)
+        assert meta["epoch"] == 2
+        np.testing.assert_allclose(arrays["a"], np.arange(3.0) * 5)
+        assert not os.path.exists(str(tmp_path / "ck.tmp"))
+
 
 class TestStats:
     def test_average_meter_epochs(self):
