@@ -44,10 +44,53 @@ class CriterionConfig:
     masks: bool = False  # segmentation losses (set_criterion.py:117-148)
     mask_loss_coef: float = 1.0
     dice_loss_coef: float = 1.0
+    # Static compaction of the dense target slots before the cost build:
+    # active slots are gathered to the front and the cost matrices / solver /
+    # loss gathers run over this many slots instead of the loader's Nmax=256
+    # (the reference matches only the real boxes per image,
+    # set_criterion.py:182 — typically ≪64 — while a dense layout pays the
+    # full Nmax on every level). Exact whenever every image has ≤ cost_slots
+    # active targets (permutation-invariant sums); images with more DROP the
+    # overflow from matching and the loss for that step, loudly: the
+    # `matcher_dropped` stat counts them and the Trainer warns. 0 disables.
+    cost_slots: int = 64
 
     def __post_init__(self):
         assert self.matching_mode in ("per level", "last level")
         assert self.matcher in SOLVERS
+
+
+def compact_targets(
+    targets: Dict[str, jnp.ndarray], n_cost: int
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Gather active target slots to the front and truncate to n_cost slots.
+
+    A pure permutation when every image fits (stable argsort keeps the active
+    slots in their original order), so every criterion sum is unchanged up to
+    float reassociation. Returns (compacted targets, dropped) where dropped is
+    the scalar count of active targets that did NOT fit — those are excluded
+    from matching and the loss for this step (telemetry: `matcher_dropped`).
+    """
+    active = targets["active"]
+    B, N = active.shape
+    if not n_cost or n_cost >= N:
+        return targets, jnp.zeros((), jnp.float32)
+    order = jnp.argsort(jnp.logical_not(active), axis=1, stable=True)[:, :n_cost]
+    out = {
+        "active": jnp.take_along_axis(active, order, axis=1),
+        "labels": jnp.take_along_axis(targets["labels"], order, axis=1),
+        "boxes": jnp.take_along_axis(targets["boxes"], order[..., None], axis=1),
+    }
+    if "masks" in targets:
+        out["masks"] = jnp.take_along_axis(
+            targets["masks"], order[..., None, None], axis=1
+        )
+    dropped = (
+        jnp.maximum(active.sum(-1).astype(jnp.int32) - n_cost, 0)
+        .sum()
+        .astype(jnp.float32)
+    )
+    return out, dropped
 
 
 def _match(outputs: Dict[str, jnp.ndarray], targets, cfg: CriterionConfig):
@@ -167,7 +210,10 @@ def matching_costs_all(
     """Stacked matching costs for every level the criterion will match:
     ((A·B, M, N) costs, (A·B, N) active), A = 1 + num_aux under "per level"
     matching, else 1. Shared by the in-jit solve and the host-matched split
-    step (train/step.py:make_host_matched_train_step)."""
+    step (train/step.py:make_host_matched_train_step). N = cfg.cost_slots
+    when compaction applies — indices solved on these costs align with the
+    compacted layout `set_criterion` uses internally."""
+    targets, _ = compact_targets(targets, cfg.cost_slots)
     levels = [outputs]
     if cfg.aux_loss and cfg.matching_mode == "per level":
         levels += list(outputs.get("aux_outputs", []))
@@ -198,8 +244,9 @@ def set_criterion(
               "aux_outputs": [ {...} per intermediate level ]}.
     targets: dense masked dict from `to_detr_targets`.
     pred_idx_all: optional externally-solved indices (A, B, N) — A matching
-    `matching_costs_all`'s level count — used by the host-matched split step;
-    when given, no solver runs inside this function.
+    `matching_costs_all`'s level count, N its (possibly compacted) slot
+    count — used by the host-matched split step; when given, no solver runs
+    inside this function.
     num_boxes: optional normalizer override. Every loss term is a per-sample
     sum divided by this count, so a caller that splits a batch into
     micro-batches (gradient accumulation, train/step.py) passes the
@@ -208,7 +255,12 @@ def set_criterion(
     Returns a dict of per-loss scalars, aux levels suffixed `_{i}`.
     """
     if num_boxes is None:
+        # From the PRE-compaction active mask: on cost_slots overflow the
+        # dropped targets still normalize (conservative), keeping the count
+        # identical to the reference's and to the accumulation path's
+        # full-batch normalizer.
         num_boxes = jnp.maximum(targets["active"].sum().astype(jnp.float32), 1.0)
+    targets, dropped = compact_targets(targets, cfg.cost_slots)
     aux = list(outputs.get("aux_outputs", [])) if cfg.aux_loss else []
 
     if pred_idx_all is not None:
@@ -253,6 +305,9 @@ def set_criterion(
     losses["matcher_unmatched"] = jax.lax.stop_gradient(
         (targets["active"] & (pred_idx == M)).sum().astype(jnp.float32) / B
     )
+    # Active targets that did not fit in cost_slots (excluded from matching
+    # AND the loss this step) — must be ~always 0; the Trainer warns if not.
+    losses["matcher_dropped"] = dropped
     return losses
 
 

@@ -73,6 +73,10 @@ class SpatioTemporalDETRArgs:
 
     # TPU-native extras
     matcher: str = "auction"  # on-device default; "hungarian" = exact host arm
+    # static active-slot compaction of the dense targets before the matcher
+    # cost build (see CriterionConfig.cost_slots); 0 = full Nmax (exact
+    # reference envelope, slower)
+    cost_slots: int = 64
     # s2d stem: 4x4/1 conv over 2x2-packed input replaces the MXU-hostile
     # 3-channel 7x7/2 conv; pack on the HOST loader (12-channel video) to
     # avoid the on-device transpose (BENCHMARKS.md round 2)
@@ -104,6 +108,7 @@ class SpatioTemporalDETRArgs:
             matcher=self.matcher,
             aux_loss=self.aux_loss,
             masks=self.masks,
+            cost_slots=self.cost_slots,
         )
 
     def imu_keys(self) -> Tuple[str, ...]:
@@ -112,7 +117,7 @@ class SpatioTemporalDETRArgs:
 
 STAT_IDFS = (
     "labels", "box_l1", "box_giou", "cardinality", "class_error",
-    "matcher_rounds", "matcher_unmatched",
+    "matcher_rounds", "matcher_unmatched", "matcher_dropped",
 )
 
 
@@ -223,6 +228,7 @@ def compute_loss(
         "class_error": losses["class_error"],
         "matcher_rounds": losses["matcher_rounds"],
         "matcher_unmatched": losses["matcher_unmatched"],
+        "matcher_dropped": losses["matcher_dropped"],
     }
     assert set(stats) == set(STAT_IDFS)
     return total, stats

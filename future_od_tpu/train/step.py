@@ -179,13 +179,19 @@ def make_train_step(
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads_k)
             # Exact combination per stat: the loss-derived stats are already
             # /num_boxes(full) sums -> add; matcher_rounds is a max;
-            # the remaining means average over equal-size micro-batches.
+            # matcher_dropped is a count -> add; the remaining means average
+            # over equal-size micro-batches.
             stats_acc = {
                 name: (
                     jnp.maximum(stats_acc[name], v)
                     if name == "matcher_rounds"
                     else stats_acc[name]
-                    + (v if name in ("labels", "box_l1", "box_giou") else v / K)
+                    + (
+                        v
+                        if name
+                        in ("labels", "box_l1", "box_giou", "matcher_dropped")
+                        else v / K
+                    )
                 )
                 for name, v in stats_k.items()
             }

@@ -124,6 +124,7 @@ class Trainer:
                 " set both flags the same way"
             )
         self._grad_report = None  # built lazily by _grad_audit
+        self._dropped_warned = False  # one-shot cost_slots overflow warning
         self._last_ap = None
         # per-mode AP of the most recent epoch; always present so external
         # consumers (tools/matcher_drift.py etc.) get a KeyError with the
@@ -276,29 +277,34 @@ class Trainer:
     def train(self, max_epochs: int):
         self._setup_wandb(tags=["training"])
         print(f"Training epochs {self._epoch + 1} to {max_epochs}.")
-        for epoch in range(self._epoch + 1, max_epochs + 1):
-            self._epoch = epoch
-            self._train_loader.set_epoch(epoch)
-            factor = self._lr_func(epoch - 1)
-            self.state = self.state._replace(
-                opt_state=set_learning_rates(
-                    self.state.opt_state,
-                    self._args.lr * factor,
-                    self._args.lr_backbone * factor,
+        # finally: even an uncaught exception mid-epoch must not discard
+        # async saves whose array write already finished (ADVICE r3).
+        try:
+            for epoch in range(self._epoch + 1, max_epochs + 1):
+                self._epoch = epoch
+                self._train_loader.set_epoch(epoch)
+                factor = self._lr_func(epoch - 1)
+                self.state = self.state._replace(
+                    opt_state=set_learning_rates(
+                        self.state.opt_state,
+                        self._args.lr * factor,
+                        self._args.lr_backbone * factor,
+                    )
                 )
-            )
-            print(f"Starting epoch {epoch} with lr factor {factor}")
-            self._run_epoch("train", self._train_loader, training=True)
-            self._run_eval()
-            for meter in self._stats.values():
-                meter.new_epoch()
-            if EXIT.is_set():
-                self.flush_saves()
-                return
-            if self._save_checkpoints:
-                print("Saving Checkpoint")
-                self.save_checkpoint(is_final=(epoch == max_epochs))
-        self.flush_saves()
+                print(f"Starting epoch {epoch} with lr factor {factor}")
+                self._run_epoch("train", self._train_loader, training=True)
+                self._run_eval()
+                for meter in self._stats.values():
+                    meter.new_epoch()
+                if EXIT.is_set():
+                    return
+                if self._save_checkpoints:
+                    print("Saving Checkpoint")
+                    self.save_checkpoint(
+                        is_final=(epoch == max_epochs), blocking=False
+                    )
+        finally:
+            self.flush_saves()
         print("Finished training!")
 
     def eval(self):
@@ -401,6 +407,16 @@ class Trainer:
             loss = float(loss)
             for key, value in stats.items():
                 self._stats[f"{mode} {key} loss"].update(float(value), 1)
+            if float(stats.get("matcher_dropped", 0.0)) > 0 and not self._dropped_warned:
+                self._dropped_warned = True
+                print(
+                    f"WARNING: {float(stats['matcher_dropped']):.0f} active "
+                    "targets exceeded cost_slots "
+                    f"({self._criterion_cfg.cost_slots}) this step and were "
+                    "dropped from matching/loss — raise "
+                    "SpatioTemporalDETRArgs.cost_slots (--cost_slots) if this "
+                    "recurs (telemetry: 'matcher_dropped' stat)."
+                )
             if ap_collect:
                 for idx, elem in enumerate(od_map_host):
                     od_map_stuff_lst[idx].append(np.asarray(elem))
@@ -468,7 +484,7 @@ class Trainer:
                 # per-epoch saves): survives preemption of long epochs. Resume
                 # restarts the epoch, which matches the reference's semantics.
                 # (Async: only the host copy of this step's state blocks.)
-                self.save_checkpoint()
+                self.save_checkpoint(blocking=False)
         if pending is not None:
             consume(*pending)
 
@@ -523,7 +539,16 @@ class Trainer:
             pending.wait()
         self._pending_saves = []
 
-    def save_checkpoint(self, is_final: bool = False):
+    def save_checkpoint(self, is_final: bool = False, blocking: bool = True):
+        """Write <save_name> (full train state + meta) and, when is_final,
+        <save_name>_final (net-only), like the reference (trainer.py:282-299).
+
+        blocking=True (the default — the contract external callers expect):
+        durable on return. The trainer's own loop passes blocking=False: the
+        write starts in the background (the arrays are host-copied before
+        this returns, so donated state buffers stay safe) and COMMITS in the
+        background as soon as it finishes — `flush_saves()` only waits, it
+        is not what makes the checkpoint durable."""
         from future_od_tpu.parallel.distributed import is_main_process
 
         if not is_main_process():
@@ -548,9 +573,10 @@ class Trainer:
         }
         # Async write: orbax copies the arrays to host before returning, so
         # the next epoch's steps (which DONATE the state buffers) start
-        # immediately while serialization + disk IO run in the background.
-        # flush_saves() commits; the previous checkpoint stays intact until
-        # then. FUTURE_OD_SYNC_CKPT=1 restores fully blocking saves.
+        # immediately while serialization + disk IO run in the background,
+        # and the PendingSave commits itself as soon as the write finishes
+        # (preemption-safe). FUTURE_OD_SYNC_CKPT=1 restores fully blocking
+        # saves.
         self.flush_saves()  # at most one in-flight write per name
         if os.environ.get("FUTURE_OD_SYNC_CKPT", "0") == "1":
             save_checkpoint(self._checkpoint_path, self._save_name, arrays, meta)
@@ -575,6 +601,8 @@ class Trainer:
                         final_arrays, final_meta,
                     )
                 )
+        if blocking:
+            self.flush_saves()
 
     def load_checkpoint(self, checkpoint: Optional[str] = None, load_only_net=False):
         """checkpoint: None -> <ckpt_path>/<save_name>; str -> explicit path

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any, Optional, Tuple
 
 import orbax.checkpoint as ocp
@@ -50,43 +51,69 @@ def save_checkpoint(
 class PendingSave:
     """Handle for an in-flight async checkpoint write.
 
-    `save_checkpoint_async` returns one; call `wait()` to finalize (meta
-    sidecar write + atomic rename). Orbax's AsyncCheckpointer copies the
-    arrays to host BEFORE returning from save(), so the caller may keep
-    training — including donating the state buffers to the next step —
-    while serialization and disk IO run in a background thread.
+    Orbax's AsyncCheckpointer copies the arrays to host BEFORE returning from
+    save(), so the caller may keep training — including donating the state
+    buffers to the next step — while serialization and disk IO run in a
+    background thread. A finalizer thread here then commits (meta sidecar
+    write + atomic rename) as soon as that write finishes, so the newest
+    checkpoint survives a hard preemption (SIGKILL/OOM — anything that never
+    reaches a flush) without anyone calling `wait()`. `wait()` blocks until
+    the commit has happened; it is idempotent and failure-retryable (a commit
+    that raised in the background is re-attempted, skipping the
+    already-closed checkpointer).
     """
 
     def __init__(self, ckptr: "ocp.AsyncCheckpointer", tmp: str, path: str,
                  meta: Optional[dict]):
-        self._ckptr = ckptr
+        self._ckptr: Optional[ocp.AsyncCheckpointer] = ckptr
         self._tmp = tmp
         self._path = path
         self._meta = meta
+        self._lock = threading.Lock()
         self._done = False
+        self._thread = threading.Thread(
+            target=self._finalize_quietly,
+            name=f"ckpt-commit:{os.path.basename(path)}",
+            daemon=True,
+        )
+        self._thread.start()
+
+    def _finalize_quietly(self):
+        try:
+            self.wait()
+        except Exception as exc:  # noqa: BLE001 — retried by the next wait()
+            print(f"WARNING: background checkpoint commit of {self._path} "
+                  f"failed ({exc}); will retry on the next flush")
 
     def wait(self) -> str:
-        if self._done:
+        with self._lock:
+            if self._done:
+                return self._path
+            if self._ckptr is not None:
+                self._ckptr.wait_until_finished()
+                self._ckptr.close()
+                # Failure-idempotent: drop the closed checkpointer so a retry
+                # after a failed meta-write/rename goes straight to finalize.
+                self._ckptr = None
+            with open(os.path.join(self._tmp, META_FILE), "w") as f:
+                json.dump(self._meta or {}, f)
+            if os.path.exists(self._path):
+                shutil.rmtree(self._path)
+            os.replace(self._tmp, self._path)
+            self._done = True
             return self._path
-        self._ckptr.wait_until_finished()
-        self._ckptr.close()
-        with open(os.path.join(self._tmp, META_FILE), "w") as f:
-            json.dump(self._meta or {}, f)
-        if os.path.exists(self._path):
-            shutil.rmtree(self._path)
-        os.replace(self._tmp, self._path)
-        self._done = True
-        return self._path
 
 
 def save_checkpoint_async(
     checkpoint_dir: str, name: str, arrays: Any, meta: Optional[dict] = None
 ) -> PendingSave:
     """Start an asynchronous atomic overwrite of <dir>/<name>. The previous
-    checkpoint stays intact until the returned handle's `wait()` commits the
-    new one (same crash-safety as the synchronous `save_checkpoint`).
-    Callers must not start a second save for the same name before waiting
-    on the first (the temp directory is per-name)."""
+    checkpoint stays intact until the new one commits — which the returned
+    handle does eagerly in the background once the array write finishes
+    (same crash-safety as the synchronous `save_checkpoint`); `wait()` only
+    blocks until that commit is durable. Callers must not start a second
+    save for the same name before waiting on the first (the temp directory
+    is per-name)."""
     path = _path(checkpoint_dir, name)
     os.makedirs(checkpoint_dir, exist_ok=True)
     tmp = path + ".tmp"

@@ -144,6 +144,13 @@ def add_tpu_args(parser):
         "--matcher", default="auction", choices=["auction", "hungarian"],
         help="set-matching solver (auction = on-device, hungarian = exact host callback)",
     )
+    parser.add_argument(
+        "--cost_slots", default=64, type=int,
+        help="compact the dense Nmax=256 target slots to this many active "
+        "slots before the matcher cost build / solve / loss (exact while "
+        "every image has <= this many boxes; overflow is dropped loudly — "
+        "'matcher_dropped' stat). 0 = no compaction",
+    )
     parser.add_argument("--num_workers", default=16, type=int)
     parser.add_argument(
         "--s2d", action="store_true", default=False,

@@ -60,6 +60,7 @@ def run_eval(
         lr_backbone=1e-4,
         encode_offset=encode_offset,
         matcher=args.matcher,
+        cost_slots=args.cost_slots,
         space_to_depth=args.s2d,
         int8_backbone=args.int8,
     )

@@ -43,6 +43,7 @@ def main():
         num_queries=128 if not args.debug else 16,
         lr_backbone=1e-4,
         matcher=args.matcher,
+        cost_slots=args.cost_slots,
         space_to_depth=args.s2d,
     )
     if args.debug:
@@ -50,6 +51,7 @@ def main():
             num_classes=num_classes, num_queries=16, hidden_dim=64, enc_layers=2,
             dec_layers=2, dim_feedforward=128, enc_nheads=4, nheads=4,
             lr_backbone=1e-4, matcher=args.matcher,
+        cost_slots=args.cost_slots,
         space_to_depth=args.s2d,
         )
     model = build_single_frame(detr_args, use_imu=False)

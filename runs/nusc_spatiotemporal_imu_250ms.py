@@ -46,6 +46,7 @@ def main():
         num_queries=128,
         lr_backbone=1e-4,
         matcher=args.matcher,
+        cost_slots=args.cost_slots,
         space_to_depth=args.s2d,
     )
     model = build_model(args, detr_args)

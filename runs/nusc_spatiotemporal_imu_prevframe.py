@@ -48,6 +48,7 @@ def main():
         lr_backbone=1e-4,
         encode_offset=True,
         matcher=args.matcher,
+        cost_slots=args.cost_slots,
         space_to_depth=args.s2d,
     )
     model = build_model(args, detr_args)

@@ -135,3 +135,127 @@ class TestMatchingCost:
             logits, boxes, targets, cost_class=0.0, cost_bbox=0.0, cost_giou=1.0
         )
         np.testing.assert_allclose(cost_g[0, 0, 0], -1.0, rtol=1e-5)
+
+
+class TestCostSlotCompaction:
+    """cost_slots compaction (set_criterion.compact_targets): permutation-
+    exact whenever every image's active count fits, loud telemetry when not.
+    VERDICT r3 #1 — the matcher+criterion slice runs over a static compacted
+    slot count instead of the loader's dense Nmax."""
+
+    def _problem(self, rng, B=3, M=16, C=5, N=40, max_active=10, aux=2):
+        outputs = {
+            "pred_logits": jnp.asarray(rng.normal(size=(B, M, C)).astype(np.float32)),
+            "pred_boxes": jnp.asarray(rng.uniform(0.2, 0.8, size=(B, M, 4)).astype(np.float32)),
+            "aux_outputs": [
+                {
+                    "pred_logits": jnp.asarray(rng.normal(size=(B, M, C)).astype(np.float32)),
+                    "pred_boxes": jnp.asarray(rng.uniform(0.2, 0.8, size=(B, M, 4)).astype(np.float32)),
+                }
+                for _ in range(aux)
+            ],
+        }
+        active = np.zeros((B, N), bool)
+        for b in range(B):
+            k = rng.integers(1, max_active + 1)
+            active[b, rng.choice(N, size=k, replace=False)] = True  # scattered
+        targets = {
+            "boxes": jnp.asarray(rng.uniform(0.1, 0.6, size=(B, N, 4)).astype(np.float32)),
+            "labels": jnp.asarray(rng.integers(0, C, size=(B, N))),
+            "active": jnp.asarray(active),
+        }
+        return outputs, targets
+
+    def test_compaction_is_exact_when_actives_fit(self):
+        from future_od_tpu.models.set_criterion import CriterionConfig, set_criterion
+
+        rng = np.random.default_rng(0)
+        outputs, targets = self._problem(rng)
+        dense = set_criterion(
+            outputs, targets, CriterionConfig(num_classes=5, cost_slots=0)
+        )
+        compact = set_criterion(
+            outputs, targets, CriterionConfig(num_classes=5, cost_slots=12)
+        )
+        assert set(dense) | {"matcher_dropped"} == set(compact) | {"matcher_dropped"}
+        for key in dense:
+            if key in ("matcher_rounds", "matcher_dropped"):
+                continue
+            np.testing.assert_allclose(
+                np.asarray(dense[key]), np.asarray(compact[key]),
+                rtol=1e-5, atol=1e-6, err_msg=key,
+            )
+        assert float(compact["matcher_dropped"]) == 0.0
+
+    def test_compact_targets_permutation(self):
+        from future_od_tpu.models.set_criterion import compact_targets
+
+        rng = np.random.default_rng(1)
+        _, targets = self._problem(rng, B=2, N=30, max_active=6)
+        out, dropped = compact_targets(targets, 8)
+        assert float(dropped) == 0.0
+        for b in range(2):
+            act = np.asarray(targets["active"][b])
+            idx = np.nonzero(act)[0]
+            # active slots land at the front, original order preserved
+            np.testing.assert_array_equal(
+                np.asarray(out["boxes"][b, : len(idx)]),
+                np.asarray(targets["boxes"][b, idx]),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out["labels"][b, : len(idx)]),
+                np.asarray(targets["labels"][b, idx]),
+            )
+            assert np.asarray(out["active"][b, : len(idx)]).all()
+            assert not np.asarray(out["active"][b, len(idx):]).any()
+
+    def test_overflow_drops_loudly(self):
+        from future_od_tpu.models.set_criterion import CriterionConfig, set_criterion
+
+        rng = np.random.default_rng(2)
+        outputs, targets = self._problem(rng, B=2, M=16, N=24, max_active=1)
+        # force 10 actives in image 0, 3 in image 1, cost_slots=6 -> 4 dropped
+        active = np.zeros((2, 24), bool)
+        active[0, rng.choice(24, size=10, replace=False)] = True
+        active[1, :3] = True
+        targets["active"] = jnp.asarray(active)
+        losses = set_criterion(
+            outputs, targets, CriterionConfig(num_classes=5, cost_slots=6)
+        )
+        assert float(losses["matcher_dropped"]) == 4.0
+        for key, val in losses.items():
+            assert np.isfinite(np.asarray(val)).all(), key
+
+    def test_host_matched_indices_align(self):
+        """matching_costs_all compacts identically, so externally-solved
+        indices (the host-matched split step) line up with set_criterion's
+        internal compacted layout."""
+        from future_od_tpu.models.set_criterion import (
+            CriterionConfig,
+            matching_costs_all,
+            set_criterion,
+        )
+        from future_od_tpu.ops.matching import _hungarian_host
+
+        rng = np.random.default_rng(3)
+        outputs, targets = self._problem(rng)
+        cfg = CriterionConfig(num_classes=5, cost_slots=12, matcher="hungarian")
+        costs, active = matching_costs_all(outputs, targets, cfg)
+        assert costs.shape[-1] == 12 and active.shape[-1] == 12
+        B = targets["active"].shape[0]
+        idx = _hungarian_host(np.asarray(costs, np.float32), np.asarray(active, bool))
+        pred_idx_all = jnp.asarray(idx.reshape(-1, B, idx.shape[-1]))
+        split = set_criterion(outputs, targets, cfg, pred_idx_all=pred_idx_all)
+        # reference: dense hungarian without compaction
+        cfg_dense = CriterionConfig(num_classes=5, cost_slots=0, matcher="hungarian")
+        costs_d, active_d = matching_costs_all(outputs, targets, cfg_dense)
+        idx_d = _hungarian_host(np.asarray(costs_d, np.float32), np.asarray(active_d, bool))
+        dense = set_criterion(
+            outputs, targets, cfg_dense,
+            pred_idx_all=jnp.asarray(idx_d.reshape(-1, B, idx_d.shape[-1])),
+        )
+        for key in ("loss_ce", "loss_bbox", "loss_giou", "loss_ce_0", "loss_bbox_1"):
+            np.testing.assert_allclose(
+                np.asarray(dense[key]), np.asarray(split[key]),
+                rtol=1e-5, atol=1e-6, err_msg=key,
+            )

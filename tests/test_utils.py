@@ -103,26 +103,55 @@ class TestCheckpointUtils:
         save_checkpoint(str(tmp_path), "ck", tree, {})
         assert load_checkpoint(str(tmp_path), "ck", target=tree) is not None
 
-    def test_async_save_commits_on_wait(self, tmp_path):
-        """Async saves only become visible at wait(): the previous
-        checkpoint stays intact while a write is in flight, and wait() is
-        idempotent."""
-        from future_od_tpu.utils.checkpoint import save_checkpoint_async
+    def test_async_save_commits_eagerly(self, tmp_path):
+        """Async saves commit in the BACKGROUND once the array write
+        finishes — durable without anyone calling wait() (the hard-preemption
+        case, ADVICE r3 medium); wait() stays idempotent."""
+        import time
+
+        from future_od_tpu.utils.checkpoint import (
+            load_checkpoint_meta,
+            save_checkpoint_async,
+        )
 
         tree = {"a": jnp.arange(3.0)}
         save_checkpoint(str(tmp_path), "ck", tree, {"epoch": 1})
         pending = save_checkpoint_async(
             str(tmp_path), "ck", {"a": jnp.arange(3.0) * 5}, {"epoch": 2}
         )
-        # the committed checkpoint is still epoch 1 until wait()
-        _, meta = load_checkpoint(str(tmp_path), "ck", target=tree)
-        assert meta["epoch"] == 1
+        # poll WITHOUT wait(): the background finalizer must commit on its own
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            meta = load_checkpoint_meta(str(tmp_path), "ck")
+            if meta and meta.get("epoch") == 2:
+                break
+            time.sleep(0.05)
+        assert load_checkpoint_meta(str(tmp_path), "ck")["epoch"] == 2
         pending.wait()
         pending.wait()  # idempotent
         arrays, meta = load_checkpoint(str(tmp_path), "ck", target=tree)
         assert meta["epoch"] == 2
         np.testing.assert_allclose(arrays["a"], np.arange(3.0) * 5)
         assert not os.path.exists(str(tmp_path / "ck.tmp"))
+
+    def test_async_save_wait_retries_failed_commit(self, tmp_path):
+        """A finalize that failed (e.g. meta write raced a disk error) must be
+        retryable: wait() skips the already-closed checkpointer and re-runs
+        the meta-write + rename (ADVICE r3 low)."""
+        from future_od_tpu.utils.checkpoint import save_checkpoint_async
+
+        tree = {"a": jnp.arange(4.0)}
+        pending = save_checkpoint_async(str(tmp_path), "ck", tree, {"epoch": 7})
+        pending.wait()
+        # Simulate a failed commit after the checkpointer was closed: roll the
+        # directory back to pre-rename state and clear the done flag.
+        os.replace(str(tmp_path / "ck"), str(tmp_path / "ck.tmp"))
+        pending._done = False
+        assert pending._ckptr is None  # closed exactly once
+        pending.wait()  # must NOT touch the closed checkpointer
+        arrays, meta = load_checkpoint(str(tmp_path), "ck", target=tree)
+        assert meta["epoch"] == 7
+        np.testing.assert_allclose(arrays["a"], np.arange(4.0))
 
 
 class TestStats:
