@@ -37,7 +37,7 @@ def main():
         num_classes=8, num_queries=128, lr_backbone=1e-4,
         freeze_stem=_os.environ.get("BENCH_NO_STOPGRAD", "0") != "1",
         # BENCH_COST_SLOTS=0 restores the dense Nmax=256 criterion (A/B arm)
-        cost_slots=int(_os.environ.get("BENCH_COST_SLOTS", "64")),
+        cost_slots=int(_os.environ.get("BENCH_COST_SLOTS", "128")),
     )
     model = build_flagship(args)
 

@@ -12,6 +12,7 @@ Re-design of `/root/reference/future_od/models/paper.py` (TPU-first):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -299,6 +300,26 @@ class CDetrDetectorSpatioTemporal(nn.Module):
             frame = features[:, l].reshape(B, h * w, D)
             pos = pos_enc[:, l].reshape(B, h * w, D)
             ego = egodeep[:, l : l + 1] if egodeep is not None else None
+            if (
+                not self.use_slotstates
+                and l < L - 1
+                # measurement-only A/B knob (trace-time)
+                and os.environ.get("FUTURE_OD_NO_DEC_SKIP", "0") != "1"
+            ):
+                # Without slotstates, a non-final frame's decoder output is
+                # entirely unused: the recurrence state carries only the RAW
+                # frame features (paper.py:399-402 truncates image memory; the
+                # wrapper consumes only the final step's dict). Skipping the
+                # dead 6-layer decoder pass is exact — XLA cannot DCE it
+                # itself once the attention lowers to opaque Pallas calls.
+                # (Training dropout draws shift versus the unskipped trace —
+                # a different random stream, same distribution.)
+                prev = state["image_content_lst"] if state is not None else []
+                state = {
+                    "slotstates_content": None,
+                    "image_content_lst": ([frame] + prev)[: self.num_images - 1],
+                }
+                continue
             out, state = self.detect(frame, pos, ego, l == 0, state, deterministic)
         return out
 

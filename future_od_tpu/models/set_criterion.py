@@ -53,7 +53,7 @@ class CriterionConfig:
     # active targets (permutation-invariant sums); images with more DROP the
     # overflow from matching and the loss for that step, loudly: the
     # `matcher_dropped` stat counts them and the Trainer warns. 0 disables.
-    cost_slots: int = 64
+    cost_slots: int = 128
 
     def __post_init__(self):
         assert self.matching_mode in ("per level", "last level")

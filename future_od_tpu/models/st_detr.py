@@ -76,7 +76,7 @@ class SpatioTemporalDETRArgs:
     # static active-slot compaction of the dense targets before the matcher
     # cost build (see CriterionConfig.cost_slots); 0 = full Nmax (exact
     # reference envelope, slower)
-    cost_slots: int = 64
+    cost_slots: int = 128
     # s2d stem: 4x4/1 conv over 2x2-packed input replaces the MXU-hostile
     # 3-channel 7x7/2 conv; pack on the HOST loader (12-channel video) to
     # avoid the on-device transpose (BENCHMARKS.md round 2)

@@ -34,6 +34,10 @@ LSE_LANES = 128  # lse/delta rows are lane-broadcast for legal TPU tiling
 LOG2E = 1.4426950408889634
 
 
+def _env_true(name: str) -> bool:
+    return os.environ.get(name, "0") == "1"
+
+
 @contextlib.contextmanager
 def flash_block_env(block_q: int | None = None, block_k: int | None = None):
     """Trace-time override of the auto block-size caps.
@@ -73,6 +77,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, kv_len, block_k):
     (exp2(log2e·(s−m)) ≡ exp(s−m), elementwise-exact), and the padded-key
     mask (iota + compare + select) runs only on the single block that
     actually contains padding instead of on every block.
+
+    Round-4 floor study (tools/bench_softmax_floor.py, chained timing at the
+    encoder shape): a dots-only kernel with the ENTIRE softmax stripped costs
+    5.50 ms vs 5.54 ms for this full kernel — the kernel sits on a
+    per-program dispatch/streaming floor, and the VPU softmax work is fully
+    overlapped. Consequently bf16 MXU dots (FUTURE_OD_FLASH_BF16_DOT=1) stay
+    OPT-IN: they measured *slower* standalone (6.30 ms — Mosaic operand
+    relayouts) and neutral embedded, while the shipped upcast-f32 dots keep
+    round-3's validated numerics. All reductions stay f32 either way.
     """
     block_q = q_ref.shape[1]
     d_v = v_ref.shape[-1]
@@ -80,17 +93,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, kv_len, block_k):
     num_kb = nk_padded // block_k
     num_clean = kv_len // block_k  # blocks with no padded key
 
-    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
+    bf16_dots = q_ref.dtype == jnp.bfloat16 and _env_true(
+        "FUTURE_OD_FLASH_BF16_DOT"
+    )
+    dot_t = jnp.bfloat16 if bf16_dots else jnp.float32
+    # scale in f32, round once to the dot dtype
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(dot_t)
 
     def make_body(masked):
         def body(kb, carry):
             acc, row_max, row_sum = carry
-            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(dot_t)
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(dot_t)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (block_q, block_k)
+            )  # (block_q, block_k) f32
             if masked:
                 col = kb * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, logits.shape, 1
@@ -102,7 +120,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, kv_len, block_k):
             p = jnp.exp2(logits - new_max)
             new_sum = row_sum * correction + p.sum(axis=1, keepdims=True)
             pv = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p.astype(dot_t), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             new_acc = acc * correction + pv

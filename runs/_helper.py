@@ -145,7 +145,7 @@ def add_tpu_args(parser):
         help="set-matching solver (auction = on-device, hungarian = exact host callback)",
     )
     parser.add_argument(
-        "--cost_slots", default=64, type=int,
+        "--cost_slots", default=128, type=int,
         help="compact the dense Nmax=256 target slots to this many active "
         "slots before the matcher cost build / solve / loss (exact while "
         "every image has <= this many boxes; overflow is dropped loudly — "

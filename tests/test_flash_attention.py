@@ -71,6 +71,44 @@ class TestFlashKernelInterpret:
         ref = reference_attention(q, k, v, 0.25)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_bf16_dot_arm_matches_reference(self, rng):
+        """The OPT-IN bf16 MXU-dot arm (FUTURE_OD_FLASH_BF16_DOT=1; measured
+        slower standalone on this toolchain — tools/bench_softmax_floor.py —
+        so the upcast-f32 dots stay the default): only q·scale and p gain a
+        bf16 rounding, so outputs stay within bf16 resolution of the f32
+        softmax reference and of the default arm."""
+        import os
+
+        B, H, Nq, Nk, d, dv = 2, 2, 96, 300, 32, 32
+        qf, kf, vf = make_qkv(rng, B, H, Nq, Nk, d, dv)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (qf, kf, vf))
+        scale = 1.0 / np.sqrt(d)
+        ref = reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+            scale,
+        )
+        # default arm: upcast-f32 dots
+        up = flash_attention(q, k, v, scale, block_q=32, block_k=128,
+                             interpret=True)
+        assert up.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(up, np.float32), np.asarray(ref), atol=1.5e-2
+        )
+        os.environ["FUTURE_OD_FLASH_BF16_DOT"] = "1"
+        try:
+            # different block_q forces a fresh trace that sees the env knob
+            out = flash_attention(q, k, v, scale, block_q=48, block_k=128,
+                                  interpret=True)
+        finally:
+            del os.environ["FUTURE_OD_FLASH_BF16_DOT"]
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=1.5e-2
+        )
+        # the two arms agree with each other to bf16 output resolution
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(up, np.float32), atol=1.5e-2
+        )
+
 
 class TestFlashAutoBlocks:
     """block_q/block_k=None — the production inference path since round 3

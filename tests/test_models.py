@@ -488,6 +488,28 @@ class TestDetectorVariants:
         dec = variables["params"]["core"]["detector"]["decoder"]
         assert "slotstates_attend" in dec["layer0"]
 
+    def test_dead_pass_skip_is_exact(self, monkeypatch):
+        # Without slotstates the recurrence state carries only RAW frame
+        # features (paper.py:399-402), so the non-final frames' decoder passes
+        # are dead code; CDetrDetectorSpatioTemporal skips them. Outputs must
+        # be bit-identical to the unskipped trace (FUTURE_OD_NO_DEC_SKIP=1).
+        model = self._detector_core(num_images=2, use_slotstates=False)
+        data = make_data(np.random.default_rng(11), L=3)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        skipped = model.apply(variables, data, deterministic=True)
+        monkeypatch.setenv("FUTURE_OD_NO_DEC_SKIP", "1")
+        full = model.apply(variables, data, deterministic=True)
+        np.testing.assert_array_equal(
+            np.asarray(skipped["pred_logits"]), np.asarray(full["pred_logits"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(skipped["pred_boxes"]), np.asarray(full["pred_boxes"])
+        )
+        for a, b in zip(skipped["aux_outputs"], full["aux_outputs"]):
+            np.testing.assert_array_equal(
+                np.asarray(a["pred_logits"]), np.asarray(b["pred_logits"])
+            )
+
 
 class TestGoldenRegression:
     def test_flagship_outputs_locked(self):

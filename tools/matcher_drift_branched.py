@@ -35,7 +35,7 @@ from future_od_tpu.utils.wandb import WandBConfig
 
 
 def make_trainer(matcher: str, save_name: str, batch: int, samples: int,
-                 checkpoint_dir: str):
+                 checkpoint_dir: str, val_samples: int = 64):
     detr_args = SpatioTemporalDETRArgs(
         freeze_stem=False,  # from-scratch run: backprop the whole trunk
         num_classes=2, num_queries=32, hidden_dim=128, enc_layers=2, dec_layers=3,
@@ -48,7 +48,8 @@ def make_trainer(matcher: str, save_name: str, batch: int, samples: int,
         max_objects=4, seed=1,
     )
     val_ds = SyntheticClipDataset(
-        num_samples=64, num_frames=1, image_size=(128, 192), max_objects=4, seed=2
+        num_samples=val_samples, num_frames=1, image_size=(128, 192),
+        max_objects=4, seed=2,
     )
     return Trainer(
         model=model,
@@ -76,16 +77,25 @@ def main():
     parser.add_argument("--branch-epochs", type=int, default=40)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--samples", type=int, default=256)
+    parser.add_argument("--val-samples", type=int, default=64)
     parser.add_argument("--ckpt-dir", default="checkpoints")
     parser.add_argument("--out", default="/tmp/matcher_drift_branched.json")
     parser.add_argument("--progress", default="/tmp/matcher_drift_branched.jsonl")
     args = parser.parse_args()
 
     # Phase 1: base run (auction — the production path) to past-onset AP.
+    # Epoch-by-epoch with a NaN sentinel: a diverged base (seen once at
+    # batch 32 / lr 3e-4 — NaN at epoch ~26, auction burning max_iters on NaN
+    # costs) must abort immediately instead of burning hours of TPU.
     base = make_trainer("auction", "drift_base", args.batch, args.samples,
-                        args.ckpt_dir)
+                        args.ckpt_dir, args.val_samples)
     base.load_checkpoint()  # resume a partial base if one exists
-    base.train(args.base_epochs)
+    for e in range(base._epoch + 1, args.base_epochs + 1):
+        base.train(e)
+        labels = base._stats["train labels loss"].history[-1]
+        if not np.isfinite(labels):
+            sys.exit(f"ABORT: base run diverged (labels loss {labels} at "
+                     f"epoch {e}); lower --batch/lr and clear --ckpt-dir")
     base_ap = [float(v) for v in base._ap_by_mode["train"]["all"][0, :, 0]]
     print(f"BASE train AP50 after {args.base_epochs} epochs: {base_ap}", flush=True)
     base_ckpt = os.path.join(args.ckpt_dir, "drift_base")
@@ -97,7 +107,7 @@ def main():
     for matcher in ("auction", "hungarian"):
         name = f"drift_branch_{matcher}"
         trainer = make_trainer(matcher, name, args.batch, args.samples,
-                               args.ckpt_dir)
+                               args.ckpt_dir, args.val_samples)
         trainer._save_checkpoints = False
         trainer.load_checkpoint(base_ckpt)
         ap = {"train": [], "val": []}
@@ -122,6 +132,18 @@ def main():
     hv = np.asarray(results["hungarian"]["val"])
     results["summary"] = {
         "branch_epochs": args.branch_epochs,
+        # systematic drift = |window-mean(auction) - window-mean(hungarian)|
+        # per class (per-epoch deltas measure run-to-run noise instead)
+        "train_windowmean_ap50_delta": np.abs(
+            np.nanmean(a, 0) - np.nanmean(h, 0)
+        ).tolist(),
+        "val_windowmean_ap50_delta": np.abs(
+            np.nanmean(av, 0) - np.nanmean(hv, 0)
+        ).tolist(),
+        "val_windowmean_ap50": {
+            "auction": np.nanmean(av, 0).tolist(),
+            "hungarian": np.nanmean(hv, 0).tolist(),
+        },
         "train_mean_ap50_abs_delta": float(np.nanmean(np.abs(a - h))),
         "train_max_ap50_abs_delta": float(np.nanmax(np.abs(a - h))),
         "train_final_ap50": {"auction": a[-1].tolist(), "hungarian": h[-1].tolist()},
