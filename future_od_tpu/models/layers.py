@@ -110,9 +110,18 @@ def attend_heads(
 
     if deterministic:
         # threshold re-confirmed round 3 with full-row blocks (flash still
-        # -9% at 350 keys); FUTURE_OD_FLASH_MIN_KEYS overrides for A/B
+        # -9% at 350 keys); FUTURE_OD_FLASH_MIN_KEYS overrides for A/B.
+        # MIN_QUERIES separates the decoder's slot-query attns (128 q ×
+        # 1400 k) from the encoder's (1400 q): at tiny q the per-call Pallas
+        # dispatch outweighs the fused-softmax win — einsum decoder attns
+        # measured +5.3% full-model (111.1/111.3 -> 116.7/117.1 clips/s,
+        # in-window ABBA, BENCHMARKS.md round 4), so flash additionally
+        # requires q >= 256 by default.
         min_keys = int(os.environ.get("FUTURE_OD_FLASH_MIN_KEYS", 1024))
-        use_flash = kh.shape[1] >= min_keys and flash_allowed()
+        min_q = int(os.environ.get("FUTURE_OD_FLASH_MIN_QUERIES", 256))
+        use_flash = (
+            kh.shape[1] >= min_keys and qh.shape[1] >= min_q and flash_allowed()
+        )
     else:
         use_flash = (
             os.environ.get("FUTURE_OD_TRAIN_FLASH", "0") == "1"

@@ -1,0 +1,59 @@
+"""Smoke-run the long-form TPU measurement tools at tiny scale on CPU.
+
+Rationale: a tool crash discovered hours into a real device run burns
+irreplaceable TPU time — round 4's matcher_drift_branched KeyError surfaced
+only AFTER the 60-epoch base phase completed, voiding the whole run. Every
+tool whose real invocation is hours long must therefore complete end-to-end
+at minutes-scale settings in CI, covering the full control flow (base phase,
+checkpoint branch, both matcher arms, summary emission).
+"""
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_matcher_drift_branched_smoke(tmp_path, monkeypatch):
+    tool = _load_tool("matcher_drift_branched")
+    out = tmp_path / "drift.json"
+    prog = tmp_path / "drift_progress.jsonl"
+    monkeypatch.chdir(tmp_path)  # visualization/ output lands under tmp
+    monkeypatch.setattr(sys, "argv", [
+        "matcher_drift_branched.py",
+        "--base-epochs", "2", "--branch-epochs", "1",
+        "--batch", "8", "--samples", "16", "--val-samples", "8",
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+        "--out", str(out), "--progress", str(prog),
+    ])
+    tool.main()
+
+    results = json.loads(out.read_text())
+    # both branch arms produced one epoch of train+val AP rows
+    assert len(results["auction"]["train"]) == 1
+    assert len(results["auction"]["val"]) == 1
+    assert len(results["hungarian"]["train"]) == 1
+    summary = results["summary"]
+    for key in (
+        "train_windowmean_ap50_delta",
+        "val_windowmean_ap50_delta",
+        "val_windowmean_ap50",
+        "train_final_ap50",
+        "val_final_ap50",
+    ):
+        assert key in summary, key
+    # per-class vectors: 2 synthetic classes
+    assert len(summary["train_windowmean_ap50_delta"]) == 2
+    # progress lines: one per branch epoch per arm
+    lines = [json.loads(l) for l in prog.read_text().splitlines()]
+    assert {l["matcher"] for l in lines} == {"auction", "hungarian"}
