@@ -57,3 +57,22 @@ def test_matcher_drift_branched_smoke(tmp_path, monkeypatch):
     # progress lines: one per branch epoch per arm
     lines = [json.loads(l) for l in prog.read_text().splitlines()]
     assert {l["matcher"] for l in lines} == {"auction", "hungarian"}
+
+
+def test_nan_probe_forced_replay_smoke(tmp_path, monkeypatch):
+    """Exercise nan_probe's full control flow (epoch loop + snapshot +
+    deterministic replay + finiteness diagnosis + dump) via the forced-fatal
+    path, so the real TPU invocation can't crash after the long phase A."""
+    tool = _load_tool("nan_probe")
+    snap = tmp_path / "snaps"
+    out = tmp_path / "fatal.npz"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "nan_probe.py", "--batch", "8", "--samples", "16", "--val-samples", "8",
+        "--max-epochs", "2", "--force-fatal-epoch", "2",
+        "--snap-dir", str(snap), "--out", str(out),
+    ])
+    tool.main()
+    assert out.exists()
+    assert (snap / "state_prefatal.pkl").exists()
+    assert (snap / "state_e1.pkl").exists()

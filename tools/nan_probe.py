@@ -1,0 +1,185 @@
+"""Reproduce and localize the batch-32/lr-3e-4 training divergence.
+
+The round-4 val-drift base run (tools/matcher_drift_branched.py --batch 32
+--samples 4096) died twice with the same signature: smooth loss decline, then
+in ONE epoch the labels loss goes NaN while every box-side stat stays finite,
+`matcher_rounds` spikes and `matcher_unmatched` goes non-zero, and the next
+epoch the whole parameter tree is NaN (box_l1 == 0.0 exactly: all targets
+unmatched, the masked sums are empty). This tool finds the exact step and the
+exact tensor that produces the first non-finite value:
+
+- Phase A: run the identical training config epoch by epoch, snapshotting the
+  full TrainState (params + AdamW moments + step counter) to disk after every
+  epoch, until the labels loss goes non-finite.
+- Phase B: restore the last healthy snapshot and replay the fatal epoch
+  step by step (the dropout key is fold_in(seed, state.step) and the loader
+  shuffles by (seed, epoch), so the replay is bit-identical), fetching the
+  stats of every step instead of once per epoch.
+- Phase C: at the first non-finite step, re-run the forward/loss/grad from
+  the pre-step state with finiteness maps over (a) every output level's
+  logits/boxes, (b) every per-level loss term, (c) every top-level gradient
+  subtree, and dump state + batch to an .npz for offline analysis.
+
+    python tools/nan_probe.py --batch 32 --samples 4096 --max-epochs 40
+"""
+import argparse
+import os
+import pickle
+import sys
+
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TOOLS))
+sys.path.insert(0, _TOOLS)  # so the import below works under importlib too
+
+from matcher_drift_branched import make_trainer  # noqa: E402 (enables cache)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from future_od_tpu.train.step import _forward_and_loss  # noqa: E402
+from future_od_tpu.train.optimizer import set_learning_rates  # noqa: E402
+
+
+def _finite_map(tree):
+    """{path: (finite_fraction, max_abs)} for every leaf of a pytree."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        x = np.asarray(leaf)
+        if x.dtype.kind not in "fc":
+            continue
+        name = jax.tree_util.keystr(path)
+        out[name] = (float(np.isfinite(x).mean()), float(np.abs(x).max()))
+    return out
+
+
+def _snapshot(state, path):
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(state)]
+    with open(path, "wb") as f:
+        pickle.dump(leaves, f)
+
+
+def _restore(state_template, path):
+    with open(path, "rb") as f:
+        leaves = pickle.load(f)
+    treedef = jax.tree_util.tree_structure(state_template)
+    return jax.tree_util.tree_unflatten(treedef, [jnp.asarray(l) for l in leaves])
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--samples", type=int, default=4096)
+    parser.add_argument("--val-samples", type=int, default=64)
+    parser.add_argument("--max-epochs", type=int, default=40)
+    parser.add_argument("--snap-dir", default="/tmp/nanprobe")
+    parser.add_argument("--out", default="/tmp/nanprobe/fatal.npz")
+    parser.add_argument(
+        "--force-fatal-epoch", type=int, default=0,
+        help="treat this epoch as fatal even if finite and replay its first "
+        "step through the full diagnosis path (CI smoke of phases B/C)",
+    )
+    args = parser.parse_args()
+    os.makedirs(args.snap_dir, exist_ok=True)
+
+    trainer = make_trainer(
+        "auction", "nan_probe", args.batch, args.samples,
+        os.path.join(args.snap_dir, "ckpt"), args.val_samples,
+    )
+    trainer._save_checkpoints = False  # snapshots below replace orbax saves
+
+    # ---- Phase A: epoch loop with snapshots until the first NaN epoch ----
+    fatal_epoch = None
+    for e in range(1, args.max_epochs + 1):
+        trainer.train(e)
+        labels = trainer._stats["train labels loss"].history[-1]
+        print(f"[probe] epoch {e}: labels {labels:.5f}", flush=True)
+        if not np.isfinite(labels):
+            fatal_epoch = e
+            break
+        _snapshot(trainer.state, os.path.join(args.snap_dir, f"state_e{e}.pkl"))
+        if args.force_fatal_epoch == e:
+            fatal_epoch = e  # CI smoke: exercise the replay + diag path
+            break
+    if fatal_epoch is None:
+        sys.exit(f"no divergence within {args.max_epochs} epochs — raise --max-epochs")
+    print(f"[probe] FATAL EPOCH: {fatal_epoch}; replaying step by step", flush=True)
+
+    # ---- Phase B: restore last healthy state, replay the fatal epoch ----
+    state = _restore(
+        trainer.state, os.path.join(args.snap_dir, f"state_e{fatal_epoch - 1}.pkl")
+    )
+    factor = trainer._lr_func(fatal_epoch - 1)
+    state = state._replace(
+        opt_state=set_learning_rates(
+            state.opt_state, trainer._args.lr * factor,
+            trainer._args.lr_backbone * factor,
+        )
+    )
+    loader = trainer._train_loader
+    loader.set_epoch(fatal_epoch)
+    fatal = None
+    treedef = jax.tree_util.tree_structure(state)
+    for i, batch in enumerate(loader):
+        data = trainer._device_batch(batch)
+        # the jitted step donates `state`, so keep a host copy of the
+        # pre-step state for the fatal-step analysis
+        prev_host = [np.asarray(l) for l in jax.tree_util.tree_leaves(state)]
+        state, loss, stats, _, _ = trainer._train_step(state, data, trainer._rng)
+        host = jax.device_get((loss, stats))
+        bad = [k for k, v in host[1].items() if not np.isfinite(v)]
+        if not np.isfinite(host[0]) or bad or args.force_fatal_epoch:
+            print(f"[probe] FATAL STEP {i}: loss {host[0]}, non-finite {bad}",
+                  flush=True)
+            print(f"[probe] stats: {host[1]}", flush=True)
+            prev_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(l) for l in prev_host]
+            )
+            fatal = (i, batch, data, prev_state)
+            break
+    if fatal is None:
+        sys.exit("replay did not reproduce — non-determinism; investigate loader")
+    i, batch, data, prev_state = fatal
+
+    # ---- Phase C: localized finiteness maps from the pre-step state ----
+    dropout_rng = jax.random.fold_in(trainer._rng, prev_state.step)
+    model, cfg = trainer._model, trainer._criterion_cfg
+
+    raw = model.apply(
+        {"params": prev_state.params, "frozen": prev_state.frozen}, data,
+        deterministic=False, rngs={"dropout": dropout_rng},
+    )
+    print("[probe] forward finiteness (train mode):", flush=True)
+    for name, (frac, mx) in _finite_map(jax.device_get(raw)).items():
+        flag = "" if frac == 1.0 else "   <-- NON-FINITE"
+        print(f"    {name}: finite {frac:.6f}, max|x| {mx:.4e}{flag}", flush=True)
+
+    def fwd(p):
+        return _forward_and_loss(
+            model, cfg, p, prev_state.frozen, data,
+            deterministic=False, dropout_rng=dropout_rng,
+        )
+
+    (loss, (stats, _, _)), grads = jax.value_and_grad(fwd, has_aux=True)(
+        prev_state.params
+    )
+    print(f"[probe] replayed loss {jax.device_get(loss)}", flush=True)
+    print(f"[probe] per-term stats: {jax.device_get(stats)}", flush=True)
+    print("[probe] non-finite gradient subtrees:", flush=True)
+    for name, (frac, mx) in _finite_map(jax.device_get(grads)).items():
+        if frac < 1.0:
+            print(f"    {name}: finite {frac:.6f}, max|x| {mx:.4e}", flush=True)
+
+    np.savez(
+        args.out,
+        step=i,
+        **{f"batch_{k}": np.asarray(v) for k, v in batch.items()
+           if hasattr(v, "shape")},
+    )
+    _snapshot(prev_state, os.path.join(args.snap_dir, "state_prefatal.pkl"))
+    print(f"[probe] dumped batch to {args.out} and state to "
+          f"{args.snap_dir}/state_prefatal.pkl", flush=True)
+
+
+if __name__ == "__main__":
+    main()
