@@ -164,6 +164,49 @@ class TestFlashAutoBlocks:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+class TestAttendHeadsDispatch:
+    """attend_heads' flash-vs-einsum gate — the production dispatch decision.
+
+    Round 4: flash requires q >= 256 as well as k >= 1024
+    (FUTURE_OD_FLASH_MIN_QUERIES): the decoder's 128-query attentions run
+    ONE q-block program per (batch, head), so per-call dispatch dominates —
+    einsum decoder attns measured +5.3 % full-model (BENCHMARKS.md round 4).
+    """
+
+    def _dispatches_flash(self, monkeypatch, nq, nk):
+        import future_od_tpu.models.layers as layers_mod
+        import future_od_tpu.ops.flash_attention as fa_mod
+
+        monkeypatch.setattr(layers_mod, "flash_allowed", lambda: True)
+        called = []
+
+        def fake_flash(q, k, v, scale, **kw):
+            called.append(q.shape)
+            return jnp.zeros(q.shape[:3] + (v.shape[-1],), q.dtype)
+
+        monkeypatch.setattr(fa_mod, "flash_attention", fake_flash)
+        rng = np.random.default_rng(0)
+        qh = jnp.asarray(rng.normal(size=(1, nq, 2, 16)).astype(np.float32))
+        kh = jnp.asarray(rng.normal(size=(1, nk, 2, 16)).astype(np.float32))
+        vh = jnp.asarray(rng.normal(size=(1, nk, 2, 16)).astype(np.float32))
+        layers_mod.attend_heads(
+            qh, kh, vh, 0.25, dropout_rate=0.0, deterministic=True
+        )
+        return bool(called)
+
+    def test_encoder_shape_uses_flash(self, monkeypatch):
+        assert self._dispatches_flash(monkeypatch, nq=1400, nk=1400)
+
+    def test_decoder_cross_attn_uses_einsum(self, monkeypatch):
+        # 128 slot queries x 1400 image keys: k passes min_keys but q fails
+        # min_queries -> einsum
+        assert not self._dispatches_flash(monkeypatch, nq=128, nk=1400)
+
+    def test_min_queries_env_override(self, monkeypatch):
+        monkeypatch.setenv("FUTURE_OD_FLASH_MIN_QUERIES", "64")
+        assert self._dispatches_flash(monkeypatch, nq=128, nk=1400)
+
+
 class TestFlashTrainInterpret:
     """Differentiable flash attention (custom-vjp Pallas fwd/bwd) in
     interpret mode: values + gradients vs the einsum reference, and the
