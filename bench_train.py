@@ -78,10 +78,13 @@ def main():
     # micro-batch's activations live at a time) — the memory lever that
     # lifts the per-chip batch ceiling at stage-2 shapes.
     accum = int(os.environ.get("BENCH_ACCUM", "1"))
+    # BENCH_NO_GUARD=1 drops the non-finite-gradient skip (A/B arm for the
+    # production divergence guard's overhead; see step._guarded_apply).
     step = jax.jit(
         make_train_step(
             model, args.criterion_config(), tx, mixed_precision=mixed,
             accum_steps=accum,
+            skip_nonfinite=os.environ.get("BENCH_NO_GUARD", "0") != "1",
         ),
         donate_argnums=(0,),
     )

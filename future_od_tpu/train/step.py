@@ -74,9 +74,40 @@ def _to_half(tree, dtype):
     )
 
 
+def _guarded_apply(tx, state, grads, stats, skip_nonfinite):
+    """Optimizer update with the production divergence guard.
+
+    One non-finite gradient (transient overflow, pathological batch) must not
+    poison the whole parameter tree — a global-norm clip passes inf/NaN
+    through (scale = max_norm/inf = 0 -> inf*0 = NaN), and with AdamW the
+    moments go with it. When `skip_nonfinite`, such steps keep the OLD params
+    and optimizer state and are counted in the 'nonfinite_skipped' stat (the
+    Trainer warns on the first). Finite steps are bit-identical to the
+    unguarded path; the step counter always advances so the dropout/data
+    streams stay aligned. The reference has no equivalent (it diverges);
+    root-cause tooling: tools/nan_probe.py.
+    """
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    if skip_nonfinite:
+        ok = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+        )
+        params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), params, state.params)
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), opt_state, state.opt_state
+        )
+        stats = dict(stats)
+        stats["nonfinite_skipped"] = jax.lax.stop_gradient(
+            1.0 - ok.astype(jnp.float32)
+        )
+    return TrainState(params, state.frozen, opt_state, state.step + 1), stats
+
+
 def make_train_step(
     model, criterion_cfg: CriterionConfig, tx: optax.GradientTransformation,
     mixed_precision: bool = False, accum_steps: int = 1,
+    skip_nonfinite: bool = True,
 ) -> Callable:
     """Returns train_step(state, data, rng) ->
     (state, loss, stats, od_map_stuffs, output).
@@ -130,10 +161,8 @@ def make_train_step(
 
         return jax.value_and_grad(fwd, has_aux=True)
 
-    def _apply(state, grads):
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, state.frozen, opt_state, state.step + 1)
+    def _apply(state, grads, stats):
+        return _guarded_apply(tx, state, grads, stats, skip_nonfinite)
 
     def train_step(state: TrainState, data: Dict[str, jnp.ndarray], rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -141,7 +170,7 @@ def make_train_step(
         (loss, (stats, pred_logits, pred_boxes)), grads = _grad_fn(
             state, data, dropout_rng
         )(state.params)
-        new_state = _apply(state, grads)
+        new_state, stats = _apply(state, grads, stats)
         output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
         return new_state, loss, stats, od_map_stuffs, output
 
@@ -206,7 +235,7 @@ def make_train_step(
             (zeros_grads, jnp.zeros((), jnp.float32), zeros_stats),
             (jnp.arange(K, dtype=jnp.uint32), micro),
         )
-        new_state = _apply(state, grads)
+        new_state, stats = _apply(state, grads, stats)
         # Reassemble (K, B/K, ...) -> original row order, then post-proc once
         # on the full batch (bit-identical to the unsplit step's outputs).
         unsplit = lambda y: y.swapaxes(0, 1).reshape(B, *y.shape[2:])
@@ -316,9 +345,7 @@ def make_host_matched_steps(
         (loss, (stats, pred_logits, pred_boxes)), grads = jax.value_and_grad(
             fwd, has_aux=True
         )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, state.frozen, opt_state, state.step + 1)
+        new_state, stats = _guarded_apply(tx, state, grads, stats, True)
         output, od_map_stuffs = _postproc_and_map(pred_logits, pred_boxes, data)
         return new_state, loss, stats, od_map_stuffs, output
 

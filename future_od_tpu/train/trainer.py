@@ -140,6 +140,9 @@ class Trainer:
         for mode in ["train"] + list(self._val_loaders.keys()):
             for key in self._stat_idfs:
                 self._stats[f"{mode} {key} loss"] = AverageMeter()
+        # emitted by the train step's divergence guard (step.py _guarded_apply)
+        self._stats["train nonfinite_skipped loss"] = AverageMeter()
+        self._nonfinite_warned = False
 
         self._epoch = 0
         self._training_iterations = 0
@@ -407,6 +410,18 @@ class Trainer:
             loss = float(loss)
             for key, value in stats.items():
                 self._stats[f"{mode} {key} loss"].update(float(value), 1)
+            if (
+                float(stats.get("nonfinite_skipped", 0.0)) > 0
+                and not self._nonfinite_warned
+            ):
+                self._nonfinite_warned = True
+                print(
+                    "WARNING: a training step produced non-finite gradients; "
+                    "its update was SKIPPED (divergence guard, step.py "
+                    "_guarded_apply). Telemetry: 'nonfinite_skipped' stat. "
+                    "Recurring skips mean the run is unstable — lower the lr "
+                    "or batch size and root-cause with tools/nan_probe.py."
+                )
             if float(stats.get("matcher_dropped", 0.0)) > 0 and not self._dropped_warned:
                 self._dropped_warned = True
                 print(

@@ -541,3 +541,53 @@ class TestMatcherParity:
         np.testing.assert_allclose(
             losses["auction"], losses["hungarian"], rtol=5e-3
         )
+
+
+class TestNonfiniteGuard:
+    """_guarded_apply: non-finite grads must skip the update (params AND
+    optimizer moments unchanged, step still advances, stat set); finite
+    steps must be bit-identical to the unguarded path."""
+
+    def test_nonfinite_batch_skips_update(self):
+        model, state, step, data = setup()
+        poisoned = dict(data)
+        poisoned["video"] = data["video"].astype(jnp.float32).at[0, 0, 0, 0, 0].set(
+            jnp.nan
+        )
+        new_state, loss, stats, _, _ = step(state, poisoned, jax.random.key(0))
+        assert float(stats["nonfinite_skipped"]) == 1.0
+        assert int(new_state.step) == int(state.step) + 1
+        for old, new in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+        for old, new in zip(
+            jax.tree.leaves(state.opt_state), jax.tree.leaves(new_state.opt_state)
+        ):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+    def test_finite_step_bit_identical_to_unguarded(self):
+        import tests.test_models as tm
+        from future_od_tpu.models.build import build_flagship
+        from future_od_tpu.train.optimizer import build_optimizer
+        from future_od_tpu.train.step import make_train_step
+
+        args = SpatioTemporalDETRArgs(**TINY)
+        model = build_flagship(args)
+        data = tm.make_data(np.random.default_rng(0), B=2, L=2, H=64, W=64, N=8)
+        variables = model.init({"params": jax.random.key(0)}, data)
+        tx, opt_state = build_optimizer(
+            variables["params"], lr=1e-4, lr_backbone=1e-5, max_norm=0.1
+        )
+        state = TrainState(
+            variables["params"], variables["frozen"], opt_state, jnp.int32(0)
+        )
+        cfg = args.criterion_config()
+        guarded = jax.jit(make_train_step(model, cfg, tx, skip_nonfinite=True))
+        unguarded = jax.jit(make_train_step(model, cfg, tx, skip_nonfinite=False))
+        sg, _, stats_g, _, _ = guarded(state, data, jax.random.key(0))
+        su, _, stats_u, _, _ = unguarded(state, data, jax.random.key(0))
+        assert float(stats_g["nonfinite_skipped"]) == 0.0
+        assert "nonfinite_skipped" not in stats_u
+        for a, b in zip(jax.tree.leaves(sg.params), jax.tree.leaves(su.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
