@@ -79,6 +79,11 @@ def main():
         help="treat this epoch as fatal even if finite and replay its first "
         "step through the full diagnosis path (CI smoke of phases B/C)",
     )
+    parser.add_argument(
+        "--resume-fatal-epoch", type=int, default=0,
+        help="skip Phase A: restore state_e{N-1}.pkl from --snap-dir (written "
+        "by an earlier run) and go straight to the Phase B replay of epoch N",
+    )
     args = parser.parse_args()
     os.makedirs(args.snap_dir, exist_ok=True)
 
@@ -89,42 +94,48 @@ def main():
     trainer._save_checkpoints = False  # snapshots below replace orbax saves
 
     # ---- Phase A: epoch loop with snapshots until the first NaN epoch ----
-    fatal_epoch = None
-    for e in range(1, args.max_epochs + 1):
-        trainer.train(e)
-        labels = trainer._stats["train labels loss"].history[-1]
-        print(f"[probe] epoch {e}: labels {labels:.5f}", flush=True)
-        if not np.isfinite(labels):
-            fatal_epoch = e
-            break
-        _snapshot(trainer.state, os.path.join(args.snap_dir, f"state_e{e}.pkl"))
-        if args.force_fatal_epoch == e:
-            fatal_epoch = e  # CI smoke: exercise the replay + diag path
-            break
+    fatal_epoch = args.resume_fatal_epoch or None
+    if fatal_epoch is None:
+        for e in range(1, args.max_epochs + 1):
+            trainer.train(e)
+            labels = trainer._stats["train labels loss"].history[-1]
+            print(f"[probe] epoch {e}: labels {labels:.5f}", flush=True)
+            if not np.isfinite(labels):
+                fatal_epoch = e
+                break
+            _snapshot(trainer.state, os.path.join(args.snap_dir, f"state_e{e}.pkl"))
+            if args.force_fatal_epoch == e:
+                fatal_epoch = e  # CI smoke: exercise the replay + diag path
+                break
     if fatal_epoch is None:
         sys.exit(f"no divergence within {args.max_epochs} epochs — raise --max-epochs")
     print(f"[probe] FATAL EPOCH: {fatal_epoch}; replaying step by step", flush=True)
 
     # ---- Phase B: restore last healthy state, replay the fatal epoch ----
-    state = _restore(
-        trainer.state, os.path.join(args.snap_dir, f"state_e{fatal_epoch - 1}.pkl")
-    )
-    factor = trainer._lr_func(fatal_epoch - 1)
-    state = state._replace(
-        opt_state=set_learning_rates(
-            state.opt_state, trainer._args.lr * factor,
-            trainer._args.lr_backbone * factor,
+    # Two passes, both free of per-step state copies (a full TrainState is
+    # ~300 MB and this environment's device<->host tunnel makes per-step
+    # host mirroring hours-slow): pass 1 fetches only the scalar loss/stats
+    # to find the fatal step index, pass 2 re-restores and replays to just
+    # before it, keeping exactly ONE extra on-device state copy.
+    def _restored_state():
+        state = _restore(
+            trainer.state,
+            os.path.join(args.snap_dir, f"state_e{fatal_epoch - 1}.pkl"),
         )
-    )
+        factor = trainer._lr_func(fatal_epoch - 1)
+        return state._replace(
+            opt_state=set_learning_rates(
+                state.opt_state, trainer._args.lr * factor,
+                trainer._args.lr_backbone * factor,
+            )
+        )
+
     loader = trainer._train_loader
     loader.set_epoch(fatal_epoch)
-    fatal = None
-    treedef = jax.tree_util.tree_structure(state)
+    state = _restored_state()
+    fatal_i = None
     for i, batch in enumerate(loader):
         data = trainer._device_batch(batch)
-        # the jitted step donates `state`, so keep a host copy of the
-        # pre-step state for the fatal-step analysis
-        prev_host = [np.asarray(l) for l in jax.tree_util.tree_leaves(state)]
         state, loss, stats, _, _ = trainer._train_step(state, data, trainer._rng)
         host = jax.device_get((loss, stats))
         bad = [k for k, v in host[1].items() if not np.isfinite(v)]
@@ -132,13 +143,20 @@ def main():
             print(f"[probe] FATAL STEP {i}: loss {host[0]}, non-finite {bad}",
                   flush=True)
             print(f"[probe] stats: {host[1]}", flush=True)
-            prev_state = jax.tree_util.tree_unflatten(
-                treedef, [jnp.asarray(l) for l in prev_host]
-            )
-            fatal = (i, batch, data, prev_state)
+            fatal_i = i
             break
-    if fatal is None:
+    if fatal_i is None:
         sys.exit("replay did not reproduce — non-determinism; investigate loader")
+
+    loader.set_epoch(fatal_epoch)
+    state = _restored_state()
+    fatal = None
+    for i, batch in enumerate(loader):
+        data = trainer._device_batch(batch)
+        if i == fatal_i:
+            fatal = (i, batch, data, state)  # pre-step state, never donated
+            break
+        state, loss, stats, _, _ = trainer._train_step(state, data, trainer._rng)
     i, batch, data, prev_state = fatal
 
     # ---- Phase C: localized finiteness maps from the pre-step state ----
