@@ -94,8 +94,24 @@ def main():
         base.train(e)
         labels = base._stats["train labels loss"].history[-1]
         if not np.isfinite(labels):
-            sys.exit(f"ABORT: base run diverged (labels loss {labels} at "
-                     f"epoch {e}); lower --batch/lr and clear --ckpt-dir")
+            # With the train step's non-finite gradient guard (train/step.py
+            # _guarded_apply) a poisoned step keeps the old params, so a NaN
+            # epoch AVERAGE no longer implies a dead run — abort only when the
+            # parameter tree itself is non-finite.
+            import jax
+
+            params_ok = all(
+                bool(np.isfinite(np.asarray(leaf)).all())
+                for leaf in jax.tree.leaves(base.state.params)
+            )
+            skipped = base._stats["train nonfinite_skipped loss"].history[-1]
+            if not params_ok:
+                sys.exit(f"ABORT: base run diverged (labels loss {labels} at "
+                         f"epoch {e}, params non-finite); lower --batch/lr "
+                         f"and clear --ckpt-dir")
+            print(f"WARN: epoch {e} labels loss {labels} but params finite "
+                  f"(guard skipped {skipped:.3f} of steps); continuing",
+                  flush=True)
     base_ap = [float(v) for v in base._ap_by_mode["train"]["all"][0, :, 0]]
     print(f"BASE train AP50 after {args.base_epochs} epochs: {base_ap}", flush=True)
     base_ckpt = os.path.join(args.ckpt_dir, "drift_base")
