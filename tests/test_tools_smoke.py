@@ -29,16 +29,31 @@ def test_matcher_drift_branched_smoke(tmp_path, monkeypatch):
     out = tmp_path / "drift.json"
     prog = tmp_path / "drift_progress.jsonl"
     monkeypatch.chdir(tmp_path)  # visualization/ output lands under tmp
-    monkeypatch.setattr(sys, "argv", [
-        "matcher_drift_branched.py",
-        "--base-epochs", "2", "--branch-epochs", "1",
+    common = [
         "--batch", "8", "--samples", "16", "--val-samples", "8",
         "--ckpt-dir", str(tmp_path / "ckpt"),
         "--out", str(out), "--progress", str(prog),
+    ]
+    # Staged flow (the real TPU invocation): base phase alone first...
+    monkeypatch.setattr(sys, "argv", [
+        "matcher_drift_branched.py",
+        "--base-epochs", "2", "--branch-epochs", "1", "--base-only", *common,
+    ])
+    tool.main()
+    assert not out.exists()  # base-only stops before the branch phase
+    base_lines = [json.loads(l) for l in prog.read_text().splitlines()]
+    assert [l["epoch"] for l in base_lines] == [1, 2]
+    assert all(l["matcher"] == "base" for l in base_lines)
+    # ...then the full invocation resumes the finished base (zero epochs to
+    # train — _ap_by_mode starts empty on resume) and goes straight to branch.
+    monkeypatch.setattr(sys, "argv", [
+        "matcher_drift_branched.py",
+        "--base-epochs", "2", "--branch-epochs", "1", *common,
     ])
     tool.main()
 
     results = json.loads(out.read_text())
+    assert results["base_epochs"] == 2
     # both branch arms produced one epoch of train+val AP rows
     assert len(results["auction"]["train"]) == 1
     assert len(results["auction"]["val"]) == 1
@@ -54,9 +69,9 @@ def test_matcher_drift_branched_smoke(tmp_path, monkeypatch):
         assert key in summary, key
     # per-class vectors: 2 synthetic classes
     assert len(summary["train_windowmean_ap50_delta"]) == 2
-    # progress lines: one per branch epoch per arm
+    # progress lines: base epochs from stage 1, one per branch epoch per arm
     lines = [json.loads(l) for l in prog.read_text().splitlines()]
-    assert {l["matcher"] for l in lines} == {"auction", "hungarian"}
+    assert {l["matcher"] for l in lines} == {"base", "auction", "hungarian"}
 
 
 def test_nan_probe_forced_replay_smoke(tmp_path, monkeypatch):

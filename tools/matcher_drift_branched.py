@@ -81,6 +81,12 @@ def main():
     parser.add_argument("--ckpt-dir", default="checkpoints")
     parser.add_argument("--out", default="/tmp/matcher_drift_branched.json")
     parser.add_argument("--progress", default="/tmp/matcher_drift_branched.jsonl")
+    parser.add_argument("--base-only", action="store_true",
+                        help="stop after the base phase (stage the long base "
+                             "run separately from the branch comparison)")
+    parser.add_argument("--stop-val-ap", type=float, default=0.0,
+                        help="end the base phase early once mean val AP50 "
+                             "reaches this (0 = train the full --base-epochs)")
     args = parser.parse_args()
 
     # Phase 1: base run (auction — the production path) to past-onset AP.
@@ -112,14 +118,35 @@ def main():
             print(f"WARN: epoch {e} labels loss {labels} but params finite "
                   f"(guard skipped {skipped:.3f} of steps); continuing",
                   flush=True)
-    base_ap = [float(v) for v in base._ap_by_mode["train"]["all"][0, :, 0]]
-    print(f"BASE train AP50 after {args.base_epochs} epochs: {base_ap}", flush=True)
+        tr_ap = [float(v) for v in base._ap_by_mode["train"]["all"][0, :, 0]]
+        val_ap = [float(v) for v in base._ap_by_mode["val0"]["all"][0, :, 0]]
+        with open(args.progress, "a") as f:
+            f.write(json.dumps({
+                "matcher": "base", "epoch": e, "labels_loss": float(labels),
+                "train_ap50": tr_ap, "ap50": val_ap,
+            }) + "\n")
+        if args.stop_val_ap and float(np.nanmean(val_ap)) >= args.stop_val_ap:
+            print(f"BASE reached mean val AP50 "
+                  f"{float(np.nanmean(val_ap)):.3f} >= {args.stop_val_ap} at "
+                  f"epoch {e}; ending base phase", flush=True)
+            break
+    base_epochs = base._epoch  # actual (early stop / resume aware)
+    # A fully-resumed base (branch-stage invocation) runs zero epochs, so
+    # _ap_by_mode is empty — report None rather than KeyError.
+    tr_ap_tbl = base._ap_by_mode.get("train")
+    base_ap = ([float(v) for v in tr_ap_tbl["all"][0, :, 0]]
+               if tr_ap_tbl is not None else None)
+    print(f"BASE train AP50 after {base_epochs} epochs: {base_ap}", flush=True)
+    base.flush_saves()
+    if args.base_only:
+        print("--base-only: stopping after the base phase", flush=True)
+        return
     base_ckpt = os.path.join(args.ckpt_dir, "drift_base")
 
     # Phase 2: branch the checkpoint into both matcher arms (branches never
     # save, so both load the base checkpoint directly).
-    results = {"base_ap50": base_ap, "base_epochs": args.base_epochs}
-    total = args.base_epochs + args.branch_epochs
+    results = {"base_ap50": base_ap, "base_epochs": base_epochs}
+    total = base_epochs + args.branch_epochs
     for matcher in ("auction", "hungarian"):
         name = f"drift_branch_{matcher}"
         trainer = make_trainer(matcher, name, args.batch, args.samples,
@@ -127,7 +154,7 @@ def main():
         trainer._save_checkpoints = False
         trainer.load_checkpoint(base_ckpt)
         ap = {"train": [], "val": []}
-        for e in range(args.base_epochs + 1, total + 1):
+        for e in range(base_epochs + 1, total + 1):
             trainer.train(e)
             ap["train"].append(
                 [float(v) for v in trainer._ap_by_mode["train"]["all"][0, :, 0]]
