@@ -71,6 +71,21 @@ def make_trainer(matcher: str, save_name: str, batch: int, samples: int,
     )
 
 
+def _last_base_record(progress_path):
+    """Most recent matcher=='base' line of the progress file (or None)."""
+    last = None
+    if os.path.exists(progress_path):
+        with open(progress_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                if rec.get("matcher") == "base":
+                    last = rec
+    return last
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--base-epochs", type=int, default=230)
@@ -96,7 +111,26 @@ def main():
     base = make_trainer("auction", "drift_base", args.batch, args.samples,
                         args.ckpt_dir, args.val_samples)
     base.load_checkpoint()  # resume a partial base if one exists
-    for e in range(base._epoch + 1, args.base_epochs + 1):
+    # ADVICE r4 (medium): on resume, check the stop condition BEFORE training —
+    # a stage-2 invocation resuming a base that already early-stopped must not
+    # train extra base epochs (which would silently move the branching point).
+    # The progress file is the durable "base done at epoch k" marker.
+    prev = _last_base_record(args.progress)
+    base_done = bool(
+        args.stop_val_ap
+        and prev is not None
+        and float(np.nanmean(prev["ap50"])) >= args.stop_val_ap
+        # ...and the resumed checkpoint really is at/past that epoch — a
+        # progress file without its checkpoint (or a stale one) must NOT
+        # skip the base phase.
+        and base._epoch >= int(prev["epoch"])
+    )
+    if base_done:
+        print(f"BASE already at mean val AP50 "
+              f"{float(np.nanmean(prev['ap50'])):.3f} >= {args.stop_val_ap} "
+              f"(progress epoch {prev['epoch']}, checkpoint epoch "
+              f"{base._epoch}); skipping phase 1", flush=True)
+    for e in ([] if base_done else range(base._epoch + 1, args.base_epochs + 1)):
         base.train(e)
         labels = base._stats["train labels loss"].history[-1]
         if not np.isfinite(labels):
@@ -132,10 +166,14 @@ def main():
             break
     base_epochs = base._epoch  # actual (early stop / resume aware)
     # A fully-resumed base (branch-stage invocation) runs zero epochs, so
-    # _ap_by_mode is empty — report None rather than KeyError.
+    # _ap_by_mode is empty — recover the converged base AP from the progress
+    # file's last base line instead of reporting null (ADVICE r4 low).
     tr_ap_tbl = base._ap_by_mode.get("train")
-    base_ap = ([float(v) for v in tr_ap_tbl["all"][0, :, 0]]
-               if tr_ap_tbl is not None else None)
+    if tr_ap_tbl is not None:
+        base_ap = [float(v) for v in tr_ap_tbl["all"][0, :, 0]]
+    else:
+        prev = _last_base_record(args.progress)
+        base_ap = None if prev is None else prev.get("train_ap50")
     print(f"BASE train AP50 after {base_epochs} epochs: {base_ap}", flush=True)
     base.flush_saves()
     if args.base_only:
