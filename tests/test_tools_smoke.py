@@ -91,3 +91,22 @@ def test_nan_probe_forced_replay_smoke(tmp_path, monkeypatch):
     assert out.exists()
     assert (snap / "state_prefatal.pkl").exists()
     assert (snap / "state_e1.pkl").exists()
+
+    # Phase D (--analyze): solver cross-check on the dumped cost matrices.
+    import numpy as np
+
+    d = np.load(out)
+    assert "costs" in d and "cost_active" in d and "logits_final" in d
+    monkeypatch.setattr(sys, "argv", [
+        "nan_probe.py", "--analyze", "--out", str(out),
+    ])
+    tool.main()
+    report = json.loads(
+        (tmp_path / "fatal_solver_report.json").read_text()
+    )
+    agg = report["aggregate"]
+    assert agg["total_active"] > 0
+    # healthy-state costs: the exact solver must match everything, and the
+    # auction must be within its epsilon bound of the exact cost
+    assert agg["total_unmatched_hungarian"] == 0
+    assert agg["total_cost_auction"] >= agg["total_cost_hungarian"] - 1e-4

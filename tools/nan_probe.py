@@ -18,9 +18,17 @@ exact tensor that produces the first non-finite value:
 - Phase C: at the first non-finite step, re-run the forward/loss/grad from
   the pre-step state with finiteness maps over (a) every output level's
   logits/boxes, (b) every per-level loss term, (c) every top-level gradient
-  subtree, and dump state + batch to an .npz for offline analysis.
+  subtree, and dump state + batch + the exact on-device matching cost
+  matrices to an .npz for offline analysis.
+- Phase D (--analyze, CPU-runnable, no TPU needed): load the .npz and feed
+  the captured cost matrices to BOTH solvers — the on-device auction and the
+  exact host Hungarian — and compare assignments, unmatched counts, and
+  assignment costs; plus logit/cost extremes. Tests the VERDICT r4 #3
+  hypothesis that the matcher_rounds spike is a side effect of degenerate
+  costs from extreme logits rather than an auction bug.
 
     python tools/nan_probe.py --batch 32 --samples 4096 --max-epochs 40
+    python tools/nan_probe.py --analyze   # afterwards, on CPU
 """
 import argparse
 import os
@@ -84,7 +92,15 @@ def main():
         help="skip Phase A: restore state_e{N-1}.pkl from --snap-dir (written "
         "by an earlier run) and go straight to the Phase B replay of epoch N",
     )
+    parser.add_argument(
+        "--analyze", action="store_true",
+        help="phase D only: solver cross-check on an existing --out npz "
+        "(no training, CPU-friendly)",
+    )
     args = parser.parse_args()
+    if args.analyze:
+        analyze(args.out)
+        return
     os.makedirs(args.snap_dir, exist_ok=True)
 
     trainer = make_trainer(
@@ -188,15 +204,111 @@ def main():
         if frac < 1.0:
             print(f"    {name}: finite {frac:.6f}, max|x| {mx:.4e}", flush=True)
 
+    # The exact on-device cost matrices the matcher saw at the fatal step
+    # (same forward: identical params/frozen/dropout key) — phase D feeds
+    # them to both solvers offline.
+    from future_od_tpu.models.set_criterion import matching_costs_all
+    from future_od_tpu.models.st_detr import normalize_outputs
+    from future_od_tpu.ops.misc import video_hw
+    from future_od_tpu.ops.target_utils import to_detr_targets
+
+    annotated, _, _ = normalize_outputs(raw, data)
+    Hh, Ww = video_hw(data["video"])
+    targets = to_detr_targets(
+        Hh, Ww, data["active"], data["boxes"], data["classes"]
+    )
+    costs, active = jax.jit(
+        lambda a, t: matching_costs_all(a, t, cfg)
+    )(annotated, targets)
+    logits_final = np.asarray(jax.device_get(annotated["pred_logits"]))
+
     np.savez(
         args.out,
         step=i,
+        costs=np.asarray(jax.device_get(costs)),
+        cost_active=np.asarray(jax.device_get(active)),
+        logits_final=logits_final,
         **{f"batch_{k}": np.asarray(v) for k, v in batch.items()
            if hasattr(v, "shape")},
     )
     _snapshot(prev_state, os.path.join(args.snap_dir, "state_prefatal.pkl"))
-    print(f"[probe] dumped batch to {args.out} and state to "
+    print(f"[probe] dumped batch + cost matrices to {args.out} and state to "
           f"{args.snap_dir}/state_prefatal.pkl", flush=True)
+
+
+def analyze(npz_path: str):
+    """Phase D: solver cross-check on the captured fatal-step cost matrices.
+
+    Runs on the CPU platform (call with JAX_PLATFORMS handling as in
+    tests/conftest.py, or just let it run wherever — the auction jits
+    anywhere and the Hungarian is host numpy)."""
+    import json
+
+    from future_od_tpu.models.st_detr import SpatioTemporalDETRArgs
+    from future_od_tpu.ops.matching import (
+        _hungarian_host,
+        auction_assignment,
+    )
+
+    d = np.load(npz_path)
+    costs, active = d["costs"], d["cost_active"].astype(bool)
+    AB, M, N = costs.shape
+    print(f"[analyze] costs ({AB}, {M}, {N}); "
+          f"finite {np.isfinite(costs).mean():.6f}, "
+          f"max|finite cost| {np.nanmax(np.abs(np.where(np.isfinite(costs), costs, np.nan))):.4e}")
+    if "logits_final" in d:
+        lg = d["logits_final"]
+        print(f"[analyze] final-level logits: finite {np.isfinite(lg).mean():.6f}, "
+              f"min {np.nanmin(lg):.2f}, max {np.nanmax(lg):.2f}; "
+              f"sigmoid saturation (|logit|>15): {(np.abs(lg) > 15).mean():.6f}")
+
+    idx_a, rounds = jax.jit(
+        lambda c, a: auction_assignment(c, a, return_rounds=True)
+    )(jnp.asarray(costs), jnp.asarray(active))
+    idx_a, rounds = np.asarray(idx_a), np.asarray(rounds)
+    idx_h = _hungarian_host(costs.astype(np.float32), active)
+
+    report = {"rounds_max": int(rounds.max()), "rounds": rounds.tolist()}
+    per_level = []
+    for ab in range(AB):
+        act = active[ab]
+        n_act = int(act.sum())
+        # idx arrays are (AB, N): matched query per target slot, M = unmatched
+        a_row, h_row = idx_a[ab], idx_h[ab]
+        matched_a = a_row[act] < M
+        matched_h = h_row[act] < M
+        agree = float(np.mean(a_row[act] == h_row[act])) if n_act else 1.0
+
+        def _cost_of(row):
+            sel = act & (row < M)
+            if not sel.any():
+                return 0.0
+            c = costs[ab][row[sel], np.where(sel)[0]]
+            return float(np.where(np.isfinite(c), c, 0).sum())
+
+        per_level.append({
+            "active": n_act,
+            "unmatched_auction": int(n_act - matched_a.sum()),
+            "unmatched_hungarian": int(n_act - matched_h.sum()),
+            "agreement": agree,
+            "cost_auction": _cost_of(a_row),
+            "cost_hungarian": _cost_of(h_row),
+        })
+    report["per_problem"] = per_level
+    agg = {
+        "total_active": sum(p["active"] for p in per_level),
+        "total_unmatched_auction": sum(p["unmatched_auction"] for p in per_level),
+        "total_unmatched_hungarian": sum(p["unmatched_hungarian"] for p in per_level),
+        "mean_agreement": float(np.mean([p["agreement"] for p in per_level])),
+        "total_cost_auction": sum(p["cost_auction"] for p in per_level),
+        "total_cost_hungarian": sum(p["cost_hungarian"] for p in per_level),
+    }
+    report["aggregate"] = agg
+    print("[analyze] aggregate:", json.dumps(agg, indent=2))
+    out = npz_path.replace(".npz", "_solver_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"[analyze] full report -> {out}")
 
 
 if __name__ == "__main__":
