@@ -38,10 +38,14 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,
     ):
         x = image_features
+        # One shared q/k base object: lets SelfAttention's packed-projection
+        # path recognize self-attention (`query is key`) and fuse the q/k
+        # projections into one matmul.
+        qk = x + image_pos
         x = EncoderAttention(self.dim, self.num_heads, self.ff_dim, self.dropout, name="self_attn")(
             src=x,
-            query_base=x + image_pos,
-            key_base=x + image_pos,
+            query_base=qk,
+            key_base=qk,
             val_base=x,
             deterministic=deterministic,
         )

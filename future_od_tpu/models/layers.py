@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # Transformer linear layers use xavier/glorot init to match the reference's
@@ -34,18 +35,23 @@ default_kernel_init = nn.initializers.xavier_uniform()
 
 
 class TorchLinear(nn.Module):
-    """Dense with xavier-uniform kernel and torch-default bias init."""
+    """Dense with xavier-uniform kernel and torch-default bias init.
+
+    `return_weights=True` creates the params (same names/shapes — checkpoint
+    layout unchanged) but returns `(kernel, bias)` instead of applying them:
+    the hook for packing several projections that share an input into ONE
+    matmul over concatenated kernels (see `packed_proj` below)."""
 
     features: int
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_weights: bool = False):
         fan_in = x.shape[-1]
         kernel = self.param(
             "kernel", default_kernel_init, (fan_in, self.features), jnp.float32
         )
-        y = x @ kernel
+        bias = None
         if self.use_bias:
             bound = 1.0 / math.sqrt(fan_in)
             bias = self.param(
@@ -56,8 +62,48 @@ class TorchLinear(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
+        if return_weights:
+            return kernel, bias
+        y = x @ kernel
+        if bias is not None:
             y = y + bias
         return y
+
+
+def packed_proj_enabled() -> bool:
+    """Pack per-input Dense projections into one matmul (small-op latency).
+
+    At the decoder's M=128-query shapes each projection is a tiny
+    (B*M, D) x (D, D) matmul; concatenating the kernels of projections that
+    share an input turns k dispatches into one (B*M, D) x (D, k*D) matmul
+    with identical per-element reduction order (outputs are bitwise the
+    separate results' concat). Measured via tools/bench_decoder_split.py."""
+    import os
+
+    return os.environ.get("FUTURE_OD_PACKED_PROJ", "0") == "1"
+
+
+def _packed(parent_input, branches):
+    """Apply several TorchLinear projections of `parent_input` as one matmul.
+
+    branches: list of (features, name). Returns the per-branch outputs.
+    Params are created under the same submodule names as the unpacked path,
+    so checkpoints are interchangeable."""
+    kbs = [
+        _dense(f, name)(parent_input, return_weights=True) for f, name in branches
+    ]
+    kernel = jnp.concatenate([k for k, _ in kbs], axis=1)
+    y = parent_input @ kernel
+    if any(b is not None for _, b in kbs):
+        bias = jnp.concatenate(
+            [
+                b if b is not None else jnp.zeros((k.shape[1],), k.dtype)
+                for k, b in kbs
+            ]
+        )
+        y = y + bias
+    sizes = np.cumsum([f for f, _ in branches])[:-1]
+    return jnp.split(y, sizes, axis=-1)
 
 
 def _dense(features: int, name: Optional[str] = None, use_bias: bool = True) -> TorchLinear:
@@ -271,9 +317,23 @@ class SlotToSlotAttention(nn.Module):
         deterministic: bool = True,
     ):
         D, H = self.dim, self.num_heads
-        q = _dense(D, "query_content")(query_content) + _dense(D, "query_pos")(query_pos)
-        k = _dense(D, "key_content")(key_content) + _dense(D, "key_pos")(key_pos)
-        v = _dense(D, "value")(key_content)
+        if (
+            packed_proj_enabled()
+            and query_content is key_content
+            and query_pos is key_pos
+        ):
+            # Decoder self-attention: q/k/v content projections share the
+            # input, as do the q/k pos projections — 5 tiny matmuls -> 2.
+            qc, kc, v = _packed(
+                query_content,
+                [(D, "query_content"), (D, "key_content"), (D, "value")],
+            )
+            qp, kp = _packed(query_pos, [(D, "query_pos"), (D, "key_pos")])
+            q, k = qc + qp, kc + kp
+        else:
+            q = _dense(D, "query_content")(query_content) + _dense(D, "query_pos")(query_pos)
+            k = _dense(D, "key_content")(key_content) + _dense(D, "key_pos")(key_pos)
+            v = _dense(D, "value")(key_content)
         B, Nq, _ = q.shape
         Nk = k.shape[1]
         qh = q.reshape(B, Nq, H, D // H)
@@ -305,8 +365,11 @@ class EgodeepAttention(nn.Module):
     def __call__(self, query_content, query_pos, key, deterministic: bool = True):
         D, H = self.dim, self.num_heads
         q = _dense(D, "query_content")(query_content) + _dense(D, "query_pos")(query_pos)
-        k = _dense(D, "key")(key)
-        v = _dense(D, "value")(key)
+        if packed_proj_enabled():
+            k, v = _packed(key, [(D, "key"), (D, "value")])
+        else:
+            k = _dense(D, "key")(key)
+            v = _dense(D, "value")(key)
         B, Nq, _ = q.shape
         Nk = k.shape[1]
         logits = jnp.einsum(
@@ -366,14 +429,21 @@ class SlotToImageAttention(nn.Module):
         when True (is_first), the projected sine is also added into the key
         content path (transformer.py:159-163)."""
         D, H = self.dim, self.num_heads
-        v = _dense(D, "value")(key_content)
+        if packed_proj_enabled():
+            # value and key_content share the image-token input: 2 -> 1
+            # (B*Nk, D) x (D, 2D) matmul.
+            v, k_content = _packed(
+                key_content, [(D, "value"), (D, "key_content")]
+            )
+        else:
+            v = _dense(D, "value")(key_content)
+            k_content = _dense(D, "key_content")(key_content)
         q_content = _dense(D, "query_content")(query_content)
         if self.use_query_pos and query_pos is not None:
             q_content = q_content + _dense(D, "query_pos")(query_pos)
         q_sine = _dense(D, "query_sine")(query_sine)
 
         k_sine = _dense(D, "key_pos")(key_sine)
-        k_content = _dense(D, "key_content")(key_content)
         if key_pos_flag:
             k_content = k_content + k_sine
 
@@ -414,9 +484,14 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, query, key, value, deterministic: bool = True):
         D, H = self.dim, self.num_heads
-        q = _dense(D, "q_proj")(query)
-        k = _dense(D, "k_proj")(key)
-        v = _dense(D, "v_proj")(value)
+        if packed_proj_enabled() and query is key:
+            # Encoder self-attention: q/k share src+pos (v is src alone).
+            q, k = _packed(query, [(D, "q_proj"), (D, "k_proj")])
+            v = _dense(D, "v_proj")(value)
+        else:
+            q = _dense(D, "q_proj")(query)
+            k = _dense(D, "k_proj")(key)
+            v = _dense(D, "v_proj")(value)
         B, Nq, _ = q.shape
         Nk = k.shape[1]
         out = attend_heads(
