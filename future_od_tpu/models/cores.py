@@ -371,17 +371,39 @@ class CDetrDetectorSpatioTemporal(nn.Module):
         }
 
         ref_logit = inverse_sigmoid(reference)  # (B, M, 2)
-        deltas = self.bbox_embed(hs)  # (num_layers, B, M, 4)
-        coords = jnp.concatenate(
-            [deltas[..., :2] + ref_logit[None], deltas[..., 2:]], axis=-1
-        )
-        outputs_coord = nn.sigmoid(coords)
-        outputs_class = self.class_embed(hs)
 
-        out = {"pred_logits": outputs_class[-1], "pred_boxes": outputs_coord[-1]}
+        def heads(levels):  # (..., B, M, D) -> logits, sigmoid coords
+            deltas = self.bbox_embed(levels)
+            coords = jnp.concatenate(
+                [deltas[..., :2] + ref_logit, deltas[..., 2:]], axis=-1
+            )
+            return self.class_embed(levels), nn.sigmoid(coords)
+
+        # Heads applied to the final level and the aux levels SEPARATELY
+        # (identical math to one application over the stacked hs — the same
+        # matmul on each level slice): inference consumes only the final
+        # level, and a head matmul over all 6 levels followed by [-1] does
+        # NOT get sliced down by XLA — measured 3.08 ms vs 0.88 ms for the
+        # final level alone (tools/bench_decoder_split.py). Splitting lets
+        # the aux-level heads dead-code-eliminate in the inference program
+        # while training still computes all levels (aux in one batched
+        # 5-level matmul). FUTURE_OD_STACKED_HEADS=1 restores the single
+        # stacked application (measurement-only A/B knob).
+        if os.environ.get("FUTURE_OD_STACKED_HEADS", "0") == "1":
+            all_class, all_coord = heads(hs)
+            out = {"pred_logits": all_class[-1], "pred_boxes": all_coord[-1]}
+            if self.aux_loss:
+                out["aux_outputs"] = [
+                    {"pred_logits": all_class[i], "pred_boxes": all_coord[i]}
+                    for i in range(hs.shape[0] - 1)
+                ]
+            return out, new_state
+        final_class, final_coord = heads(hs[-1])
+        out = {"pred_logits": final_class, "pred_boxes": final_coord}
         if self.aux_loss:
+            aux_class, aux_coord = heads(hs[:-1])
             out["aux_outputs"] = [
-                {"pred_logits": outputs_class[i], "pred_boxes": outputs_coord[i]}
+                {"pred_logits": aux_class[i], "pred_boxes": aux_coord[i]}
                 for i in range(hs.shape[0] - 1)
             ]
         return out, new_state

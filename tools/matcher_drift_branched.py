@@ -35,12 +35,13 @@ from future_od_tpu.utils.wandb import WandBConfig
 
 
 def make_trainer(matcher: str, save_name: str, batch: int, samples: int,
-                 checkpoint_dir: str, val_samples: int = 64):
+                 checkpoint_dir: str, val_samples: int = 64,
+                 lr: float = 3e-4, max_norm: float = 0.1):
     detr_args = SpatioTemporalDETRArgs(
         freeze_stem=False,  # from-scratch run: backprop the whole trunk
         num_classes=2, num_queries=32, hidden_dim=128, enc_layers=2, dec_layers=3,
         dim_feedforward=512, enc_nheads=8, nheads=8,
-        lr=3e-4, lr_backbone=3e-4, matcher=matcher,
+        lr=lr, lr_backbone=lr, max_norm=max_norm, matcher=matcher,
     )
     model = build_single_frame(detr_args, use_imu=False)
     train_ds = SyntheticClipDataset(

@@ -80,6 +80,12 @@ def main():
     parser.add_argument("--samples", type=int, default=4096)
     parser.add_argument("--val-samples", type=int, default=64)
     parser.add_argument("--max-epochs", type=int, default=40)
+    parser.add_argument("--lr", type=float, default=3e-4,
+                        help="probe lr (the divergence repro); the reference's "
+                             "stage-1 flagship trains at 1e-4 — the "
+                             "lr-dependence arm of VERDICT r4 #3")
+    parser.add_argument("--clip", type=float, default=0.1,
+                        help="grad-clip max_norm (reference: 0.1)")
     parser.add_argument("--snap-dir", default="/tmp/nanprobe")
     parser.add_argument("--out", default="/tmp/nanprobe/fatal.npz")
     parser.add_argument(
@@ -106,6 +112,7 @@ def main():
     trainer = make_trainer(
         "auction", "nan_probe", args.batch, args.samples,
         os.path.join(args.snap_dir, "ckpt"), args.val_samples,
+        lr=args.lr, max_norm=args.clip,
     )
     trainer._save_checkpoints = False  # snapshots below replace orbax saves
 
@@ -115,7 +122,13 @@ def main():
         for e in range(1, args.max_epochs + 1):
             trainer.train(e)
             labels = trainer._stats["train labels loss"].history[-1]
-            print(f"[probe] epoch {e}: labels {labels:.5f}", flush=True)
+            extras = " ".join(
+                f"{k}={trainer._stats[f'train {k} loss'].history[-1]:.3f}"
+                for k in ("box_l1", "matcher_rounds", "matcher_unmatched",
+                          "nonfinite_skipped")
+                if f"train {k} loss" in trainer._stats
+            )
+            print(f"[probe] epoch {e}: labels {labels:.5f} {extras}", flush=True)
             if not np.isfinite(labels):
                 fatal_epoch = e
                 break
